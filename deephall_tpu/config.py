@@ -1,0 +1,272 @@
+"""Structured configuration for deephall-tpu.
+
+Mirrors the reference schema (``/root/reference/deephall/config.py:51-214``) field for
+field so that CLI dotlists, ``config.yml`` sidecars, and user scripts written against the
+reference keep working unchanged.  The reference uses OmegaConf for merging; this module
+implements the same surface (structured defaults < YAML file < dotlist) with plain
+dataclasses + PyYAML so the framework has no OmegaConf dependency.
+"""
+
+from __future__ import annotations
+
+import enum
+import time
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Self, TypeVar, Union, get_args, get_origin
+
+import yaml
+
+T = TypeVar("T")
+
+
+class StrEnum(str, enum.Enum):
+    """String-valued enum that serialises as its value."""
+
+    def __str__(self) -> str:  # pragma: no cover - trivial
+        return str(self.value)
+
+
+def _convert_value(ftype: Any, value: Any) -> Any:
+    """Coerce a plain YAML value into the declared field type."""
+    if value is None:
+        return None
+    if is_dataclass(ftype):
+        return from_dict(ftype, value)
+    origin = get_origin(ftype)
+    if origin is Union:  # Optional[...] and unions: try each member
+        for arg in get_args(ftype):
+            if arg is type(None):
+                continue
+            try:
+                return _convert_value(arg, value)
+            except (TypeError, ValueError):
+                continue
+        return value
+    if origin is tuple:
+        args = get_args(ftype)
+        if len(args) == 2 and args[1] is Ellipsis:
+            return tuple(_convert_value(args[0], v) for v in value)
+        return tuple(_convert_value(a, v) for a, v in zip(args, value))
+    if isinstance(ftype, type) and issubclass(ftype, enum.Enum):
+        return ftype(value)
+    if ftype is float:
+        return float(value)
+    if ftype is int and not isinstance(value, bool):
+        return int(value)
+    return value
+
+
+def from_dict(cls: type[T], dikt: dict[str, Any]) -> T:
+    """Restore a dataclass from a plain dictionary.
+
+    Unknown keys are ignored for forward compatibility, matching the reference
+    behaviour (``config.py:23-48``).
+
+    Args:
+        cls: Dataclass type to build.
+        dikt: Dictionary of field values (possibly nested).
+
+    Raises:
+        ValueError: if the dictionary cannot be converted.
+
+    Returns:
+        An instance of ``cls``.
+    """
+    try:
+        hints = {f.name: f.type for f in fields(cls)}  # type: ignore[arg-type]
+        kwargs = {}
+        for key, value in dict(dikt).items():
+            if key not in hints:
+                continue  # allow extra keys
+            kwargs[key] = _convert_value(hints[key], value)
+        return cls(**kwargs)
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"Error converting dictionary to {cls.__name__}: {e}") from e
+
+
+def to_dict(obj: Any) -> Any:
+    """Convert a (possibly nested) dataclass to plain YAML-safe containers."""
+    if is_dataclass(obj):
+        return {f.name: to_dict(getattr(obj, f.name)) for f in fields(obj)}
+    if isinstance(obj, enum.Enum):
+        return obj.value
+    if isinstance(obj, (list, tuple)):
+        return [to_dict(v) for v in obj]
+    return obj
+
+
+def to_yaml(obj: Any) -> str:
+    """Render a config dataclass as YAML (same shape as OmegaConf.to_yaml)."""
+    return yaml.safe_dump(to_dict(obj), sort_keys=False, default_flow_style=False)
+
+
+def merge_dicts(base: dict, override: dict) -> dict:
+    """Deep-merge ``override`` into ``base`` (override wins)."""
+    out = dict(base)
+    for key, value in override.items():
+        if key in out and isinstance(out[key], dict) and isinstance(value, dict):
+            out[key] = merge_dicts(out[key], value)
+        else:
+            out[key] = value
+    return out
+
+
+def dotlist_to_dict(dotlist: list[str]) -> dict:
+    """Parse ``path.to.key=value`` pairs into a nested dict (values YAML-parsed)."""
+    result: dict[str, Any] = {}
+    for item in dotlist:
+        key, _, raw = item.partition("=")
+        value = yaml.safe_load(raw) if raw != "" else None
+        node = result
+        parts = key.strip().split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return result
+
+
+class InteractionType(StrEnum):
+    coulomb = "coulomb"
+    harmonic = "harmonic"
+
+
+@dataclass
+class System:
+    flux: int = 2
+    "Positive or negative integer $2Q$."
+
+    radius: float | None = None
+    r"By default, the radius of the sphere is fixed at $\sqrt{Q}$."
+
+    nspins: tuple[int, int] = (3, 0)
+    "Number of spin-up and spin-down electrons."
+
+    interaction_strength: float = 1.0
+    "The factor for the potential energy."
+
+    lz_center: float = 0.0
+    "Lz to pick using penalty method."
+
+    lz_penalty: float = 0.0
+    "The strength of the penalty for (Lz - lz_center)^2."
+
+    l2_penalty: float = 0.0
+    "The strength of the penalty for L^2."
+
+    interaction_type: InteractionType = InteractionType.coulomb
+
+
+class NetworkType(StrEnum):
+    psiformer = "psiformer"
+    laughlin = "laughlin"
+
+
+class OrbitalType(StrEnum):
+    full = "full"
+    sparse = "sparse"
+
+
+@dataclass
+class PsiformerNetwork:
+    num_heads: int = 4
+    heads_dim: int = 64
+    num_layers: int = 2
+    determinants: int = 1
+
+
+@dataclass
+class Network:
+    type: NetworkType = NetworkType.psiformer
+    orbital: OrbitalType = OrbitalType.full
+    psiformer: PsiformerNetwork = field(default_factory=PsiformerNetwork)
+
+
+@dataclass
+class MCMC:
+    steps: int = 10
+    "MCMC steps to run between optimization steps."
+
+    width: float = 0.1
+    "The std dev for the Gaussian move proposal."
+
+    burn_in: int = 200
+    """MCMC burn-in steps to run before training.
+
+    It's actually `mcmc.burn_in * mcmc.steps` number of steps.
+    """
+
+    adapt_frequency: int = 100
+    "Number of steps after which to update the adaptive MCMC step size."
+
+
+@dataclass
+class LearningRate:
+    """Learning rate with decay: rate * (1 / (1 + t/delay)) ** decay."""
+
+    rate: float = 0.005
+    decay: float = 1.0
+    delay: float = 2000.0
+
+    def schedule(self, t):
+        return self.rate * (1.0 / (1.0 + (t / self.delay))) ** self.decay
+
+
+class OptimizerName(StrEnum):
+    adam = "adam"
+    kfac = "kfac"
+    none = "none"
+
+
+@dataclass
+class OptimizerAdam:
+    lr: LearningRate = field(default_factory=LearningRate)
+
+
+@dataclass
+class OptimizerKfac:
+    lr: LearningRate = field(default_factory=lambda: LearningRate(rate=0.05))
+    damping: float = 1e-3
+    curvature_ema: float = 0.95
+    norm_constraint: float = 1e-3
+
+
+@dataclass
+class Optim:
+    iterations: int = 1000
+    optimizer: OptimizerName | None = OptimizerName.kfac
+    adam: OptimizerAdam = field(default_factory=OptimizerAdam)
+    kfac: OptimizerKfac = field(default_factory=OptimizerKfac)
+
+
+@dataclass
+class Log:
+    save_path: str | None = None
+    """Path to save checkpoints and logs (local or any fsspec URL)."""
+
+    restore_path: str | None = None
+    """Path to restore checkpoints: a directory of checkpoints or one file."""
+
+    save_time_interval: int = 10 * 60
+    """Minimum time (seconds) between checkpoint saves."""
+
+    save_step_interval: int = 1000
+    """Checkpoints are saved only at steps that are multiples of this value."""
+
+    initial_energy: bool = True
+    """Log initial energy before any optimization (debugging aid)."""
+
+
+@dataclass
+class Config:
+    batch_size: int = 3360  # 32*3*5*7 — divisible by many device counts
+    seed: int = field(default_factory=lambda: int(time.time()))
+    system: System = field(default_factory=System)
+    network: Network = field(default_factory=Network)
+    mcmc: MCMC = field(default_factory=MCMC)
+    optim: Optim = field(default_factory=Optim)
+    log: Log = field(default_factory=Log)
+
+    @classmethod
+    def from_dict(cls, dikt: dict) -> Self:
+        """Convert a dictionary to Config."""
+        return from_dict(cls, dikt)

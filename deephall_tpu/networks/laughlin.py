@@ -1,0 +1,100 @@
+"""Analytic Laughlin / composite-fermion wavefunctions on the monopole sphere.
+
+Capability parity with the reference (``/root/reference/deephall/networks/laughlin.py``):
+composite-fermion states at effective flux ``Q1 = Q - p (N - 1)`` with ``p = cf_flux``,
+covering the ground state (N = 2 Q1 + 1), one quasihole (N = 2 Q1) and one quasiparticle
+(N = 2 Q1 + 2, lowest-Landau-level projected via the u* -> d/du, v* -> d/dv derivative
+trick), with a selectable Lz for the excitation.
+
+Used both as a standalone (parameter-free) wavefunction for inference runs and as the
+overlap target for the trained Psiformer.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+from jax import numpy as jnp
+
+from deephall_tpu.geometry import spinors
+from deephall_tpu.ops.slogdet import signed_logsumdet
+
+
+class Laughlin(nn.Module):
+    """Laughlin/CF wavefunction for ground or quasiparticle/quasihole states."""
+
+    nspins: tuple[int, int]
+    flux: float
+
+    cf_flux: int = 1
+    "Flux p attached to each composite fermion."
+
+    excitation_lz: float = 0
+    "Lz of the quasiparticle/quasihole state."
+
+    def setup(self):
+        nelec = sum(self.nspins)
+        self.Q1 = self.flux / 2 - self.cf_flux * (nelec - 1)
+        if nelec == 2 * self.Q1 + 1:  # Ground state
+            self.cf_orbitals = self.full_orbitals
+        elif nelec == 2 * self.Q1:  # Quasihole
+            self._check_lz()
+            assert -abs(self.Q1) <= self.excitation_lz <= abs(self.Q1)
+            self.cf_orbitals = self.quasihole_orbitals
+        elif nelec == 2 * self.Q1 + 2:  # Quasiparticle
+            self._check_lz()
+            assert -abs(self.Q1) - 1 <= self.excitation_lz <= abs(self.Q1) + 1
+            self.cf_orbitals = self.quasiparticle_orbitals
+        else:
+            raise ValueError("Filling not supported")
+
+    def _check_lz(self):
+        """Ensure the requested Lz is attainable for the excited state."""
+        diff = self.excitation_lz - self.Q1
+        assert int(diff) == diff, f"Impossible Lz={self.excitation_lz} for excitation"
+
+    def __call__(self, electrons):
+        return signed_logsumdet(self.orbitals(electrons))
+
+    def orbitals(self, electrons):
+        theta, phi = electrons[..., 0], electrons[..., 1]
+        u, v = spinors(theta, phi)
+        return self.cf_orbitals(u[..., None], v[..., None])
+
+    def _pair_jastrow(self, u, v):
+        """prod_j (u_i v_j - u_j v_i) with the diagonal masked to 1."""
+        element = u * v[:, 0] - u[:, 0] * v + jnp.eye(u.shape[0])
+        return element, jnp.prod(element, axis=-1, keepdims=True)
+
+    def full_orbitals(self, u, v):
+        Q = self.Q1
+        m = jnp.arange(-Q, Q + 1)
+        _, jastrow = self._pair_jastrow(u, v)
+        return u ** (Q + m) * v ** (Q - m) * jastrow
+
+    def quasihole_orbitals(self, u, v):
+        Q = self.Q1
+        # Remove the m = -excitation_lz LLL orbital: enumerate from both ends.
+        m = jnp.concatenate(
+            [
+                jnp.arange(-Q, -self.excitation_lz),
+                jnp.arange(Q, -self.excitation_lz, -1),
+            ]
+        )
+        _, jastrow = self._pair_jastrow(u, v)
+        return u ** (Q + m) * v ** (Q - m) * jastrow
+
+    def quasiparticle_orbitals(self, u, v):
+        Q = self.Q1
+        m = jnp.arange(-Q, Q + 1)
+        orbitals = u ** (Q + m) * v ** (Q - m)
+
+        element, jastrow = self._pair_jastrow(u, v)
+        # LLL projection: u* -> d/du, v* -> d/dv acting on the Jastrow product.
+        jastrow_dv = jastrow * (jnp.sum(-u[:, 0] / element, axis=-1, keepdims=True) + u)
+        jastrow_du = jastrow * (jnp.sum(v[:, 0] / element, axis=-1, keepdims=True) - v)
+
+        m1 = self.excitation_lz
+        excited = (u ** (Q + m1) * v ** (Q - m1)) * (
+            (Q + 1 + m1) * v * jastrow_dv - (Q + 1 - m1) * u * jastrow_du
+        )
+        return jnp.concatenate([orbitals * jastrow, excited], axis=-1)

@@ -1,0 +1,58 @@
+"""Equivalence tests for the TPU-safe complex slogdet against jnp.linalg.slogdet."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deephall_tpu.ops import slogdet as sd
+
+
+def random_complex(key, shape):
+    k1, k2 = jax.random.split(key)
+    return jax.random.normal(k1, shape) + 1j * jax.random.normal(k2, shape)
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 6, 9])
+def test_matches_lapack_complex(n):
+    a = random_complex(jax.random.PRNGKey(n), (7, n, n))
+    sign_ref, logdet_ref = jnp.linalg.slogdet(a)
+    sign, logdet = sd.slogdet(a)
+    assert jnp.allclose(logdet, logdet_ref, atol=1e-4)
+    assert jnp.allclose(sign, sign_ref, atol=1e-4)
+
+
+def test_matches_lapack_real():
+    a = jax.random.normal(jax.random.PRNGKey(0), (5, 4, 4))
+    sign_ref, logdet_ref = jnp.linalg.slogdet(a)
+    sign, logdet = sd.slogdet(a)
+    assert jnp.allclose(logdet, logdet_ref, atol=1e-5)
+    assert jnp.allclose(sign, sign_ref, atol=1e-5)
+
+
+def test_gradients_match():
+    """First and second derivatives through logdet agree with the LAPACK path."""
+    n = 4
+    a0 = random_complex(jax.random.PRNGKey(3), (n, n))
+
+    def logpsi_custom(x):
+        s, ld = sd.slogdet(a0 + x * jnp.eye(n))
+        return (ld + jnp.log(s)).real
+
+    def logpsi_ref(x):
+        s, ld = jnp.linalg.slogdet(a0 + x * jnp.eye(n))
+        return (ld + jnp.log(s)).real
+
+    g_c = jax.grad(logpsi_custom)(0.5)
+    g_r = jax.grad(logpsi_ref)(0.5)
+    assert jnp.allclose(g_c, g_r, atol=1e-4)
+    h_c = jax.hessian(logpsi_custom)(0.5)
+    h_r = jax.hessian(logpsi_ref)(0.5)
+    assert jnp.allclose(h_c, h_r, atol=1e-3)
+
+
+def test_signed_logsumdet_multi():
+    a = random_complex(jax.random.PRNGKey(4), (3, 5, 5))
+    dets = jnp.exp(jnp.linalg.slogdet(a)[1]) * jnp.linalg.slogdet(a)[0]
+    expected = jnp.log(jnp.sum(dets))
+    got = sd.signed_logsumdet(a)
+    assert jnp.allclose(got, expected, atol=1e-4)
