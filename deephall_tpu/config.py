@@ -12,7 +12,7 @@ from __future__ import annotations
 import enum
 import time
 from dataclasses import dataclass, field, fields, is_dataclass
-from typing import Any, Self, TypeVar, Union, get_args, get_origin
+from typing import Any, Self, TypeVar, Union, get_args, get_origin, get_type_hints
 
 import yaml
 
@@ -73,7 +73,8 @@ def from_dict(cls: type[T], dikt: dict[str, Any]) -> T:
         An instance of ``cls``.
     """
     try:
-        hints = {f.name: f.type for f in fields(cls)}  # type: ignore[arg-type]
+        resolved = get_type_hints(cls)
+        hints = {f.name: resolved[f.name] for f in fields(cls)}  # type: ignore[arg-type]
         kwargs = {}
         for key, value in dict(dikt).items():
             if key not in hints:

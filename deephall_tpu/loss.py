@@ -1,0 +1,117 @@
+"""Clipped-energy VMC loss and gradient estimator.
+
+Statistical parity with the reference (``/root/reference/deephall/loss.py``): IQR
+clipping of the local energy (real and imaginary parts separately, median +- 100 IQR),
+optional Lz / L^2 penalty terms, NaN-resistant means, and the gradient estimator
+
+    grad E = 2 Re E_i[ conj(d log psi_i / d params) (E_L,i - E_clipped) ].
+
+TPU-first redesign: the reference materialises **per-walker parameter gradients** with
+``vmap(jax.value_and_grad)`` (``loss.py:53-58``) — O(batch x params) memory — and then
+contracts them against the clipped energy differences.  Because that contraction is a
+plain weighted sum, the same estimator is computed here with a **single weighted VJP**
+over the batched forward pass: cotangents ``w_i = 2 (E_L,i - E_clip)/B`` on
+``(Re log psi, Im log psi)``.  Memory drops to O(params) and XLA fuses the backward
+pass with the batched forward.  Reductions are global means, which XLA partitions into
+per-shard sums plus an all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+import enum
+from collections.abc import Callable
+
+import jax
+from jax import numpy as jnp
+
+from deephall_tpu.config import System
+from deephall_tpu.hamiltonian import local_energy
+from deephall_tpu.types import ArrayTree, LogPsiNetwork, LossStats
+
+
+def iqr_clip_real(x: jnp.ndarray, scale: float = 100.0) -> jnp.ndarray:
+    q1 = jnp.nanquantile(x, 0.25)
+    q3 = jnp.nanquantile(x, 0.75)
+    iqr = q3 - q1
+    return jnp.clip(x, q1 - scale * iqr, q3 + scale * iqr)
+
+
+def iqr_clip(x: jnp.ndarray, scale: float = 100.0) -> jnp.ndarray:
+    return iqr_clip_real(x.real, scale) + 1j * iqr_clip_real(x.imag, scale)
+
+
+class LossMode(enum.Enum):
+    ENERGY_GRAD = enum.auto()
+    ENERGY_DIFF = enum.auto()
+    SR_F_VECTOR = enum.auto()
+
+
+def make_loss_fn(
+    network: LogPsiNetwork, system: System, mode: LossMode = LossMode.ENERGY_GRAD
+) -> Callable[[ArrayTree, jnp.ndarray], tuple[LossStats, ArrayTree]]:
+    """Create ``(params, data) -> (stats, grads_or_diff)`` for the given mode.
+
+    Modes (reference ``loss.py:41-44``): ``ENERGY_GRAD`` returns real parameter
+    gradients; ``ENERGY_DIFF`` returns the clipped per-walker energy differences (used
+    by the inference optimizer and the initial-energy probe); ``SR_F_VECTOR`` returns
+    the complex tangent for stochastic reconfiguration.
+    """
+    el_fn = local_energy(network, system)
+    batch_local_energy = jax.vmap(el_fn, in_axes=(None, 0))
+
+    def loss_and_grad(params: ArrayTree, data: jnp.ndarray):
+        el, other_observables = batch_local_energy(params, data)
+        mean_observables = jax.tree.map(jnp.mean, other_observables)
+
+        loss = jnp.nanmean(el)
+        clipped_loss = jnp.nanmean(iqr_clip(el))
+        diff_to_clip = el - clipped_loss
+        if system.lz_penalty:
+            lz_square = other_observables["angular_momentum_z_square"]
+            lz = other_observables["angular_momentum_z"]
+            clipped_lz_square = jnp.nanmean(iqr_clip_real(lz_square))
+            clipped_lz = jnp.nanmean(iqr_clip_real(lz))
+            diff_to_clip += system.lz_penalty * (
+                (lz_square - clipped_lz_square)
+                - 2 * system.lz_center * (lz - clipped_lz)
+            )
+        if system.l2_penalty:
+            l2 = other_observables["angular_momentum_square"]
+            clipped_l2 = jnp.nanmean(iqr_clip_real(l2))
+            diff_to_clip += system.l2_penalty * (l2 - clipped_l2)
+        diff = iqr_clip(diff_to_clip)
+
+        variance = jnp.nanmean(el.real**2) - loss.real**2
+        stats = LossStats(**mean_observables, energy=loss, variance=variance)
+        if mode == LossMode.ENERGY_DIFF:
+            return stats, diff
+
+        # Single weighted VJP: tangent = 2 nanmean_i conj(grad logpsi_i) diff_i.
+        valid = ~jnp.isnan(diff)
+        count = jnp.maximum(jnp.sum(valid), 1)
+        w = jax.lax.stop_gradient(
+            jnp.where(valid, jnp.nan_to_num(diff), 0) * (2.0 / count)
+        )
+
+        def weighted_real(p):
+            logpsi = jax.vmap(lambda x: network(p, x))(data)
+            # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
+            return jnp.sum(logpsi.real * w.real + logpsi.imag * w.imag)
+
+        if mode == LossMode.ENERGY_GRAD:
+            grads = jax.grad(weighted_real)(params)
+            return stats, jax.tree.map(jnp.nan_to_num, grads)
+
+        # SR_F_VECTOR: the complex tangent, from one more weighted VJP.
+        def weighted_imag(p):
+            logpsi = jax.vmap(lambda x: network(p, x))(data)
+            # Im[conj(grad logpsi) w] = grad(Re psi) . Im w - grad(Im psi) . Re w
+            return jnp.sum(logpsi.real * w.imag - logpsi.imag * w.real)
+
+        g_re = jax.grad(weighted_real)(params)
+        g_im = jax.grad(weighted_imag)(params)
+        return stats, jax.tree.map(
+            lambda a, b: jnp.nan_to_num(a) + 1j * jnp.nan_to_num(b), g_re, g_im
+        )
+
+    return loss_and_grad

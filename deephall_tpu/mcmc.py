@@ -1,0 +1,145 @@
+"""Metropolis-Hastings sampling of |psi|^2 on the sphere.
+
+Algorithm parity with the reference sampler (``/root/reference/deephall/mcmc.py``):
+all-electron moves from a tangent-plane Gaussian proposal rotated to each electron,
+acceptance on ``2 Re log psi`` ratios, a ``fori_loop`` over steps inside one ``jit``,
+and host-side adaptive width targeting an acceptance ratio in [0.5, 0.55].
+
+TPU-first differences: the walker batch is a single global array sharded over the mesh
+(no leading device axis), the acceptance mean is a plain global mean that XLA lowers to
+a per-shard reduction plus an ICI all-reduce, and the RNG is one partitionable threefry
+key — per-shard randomness falls out of sharded ``jax.random`` calls, so sampling is
+identical across any device count (the reference's per-device key splitting is not).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax import lax
+from jax import numpy as jnp
+
+from deephall_tpu.types import ArrayTree, LogPsiNetwork, PRNGKey
+
+
+def sph_sampling(key: PRNGKey, x1: jnp.ndarray, stddev: jnp.ndarray) -> jnp.ndarray:
+    """Propose new electron positions from a rotated tangent-plane Gaussian.
+
+    Samples a small polar offset ``theta' = arctan(N(0, stddev))`` and uniform azimuth
+    around the north pole, then rotates the pole onto each electron's current direction
+    (reference ``mcmc.py:67-102``).
+
+    Args:
+        key: RNG key.
+        x1: Current configurations ``[..., nelec, 2]``.
+        stddev: Proposal width.
+
+    Returns:
+        Proposed configurations, same shape as ``x1``.
+    """
+    theta, phi = x1[..., 0], x1[..., 1]
+    key_theta, key_phi = jax.random.split(key)
+    theta_prime = jnp.arctan(jax.random.normal(key_theta, theta.shape) * stddev)
+    phi_prime = jax.random.uniform(key_phi, phi.shape) * 2 * jnp.pi
+
+    sin_tp = jnp.sin(theta_prime)
+    xp = sin_tp * jnp.cos(phi_prime)
+    yp = sin_tp * jnp.sin(phi_prime)
+    zp = jnp.cos(theta_prime)
+
+    # Rotate the pole to (theta, phi): R_z(phi) @ R_y(theta) @ [xp, yp, zp], written
+    # componentwise so XLA fuses it into a handful of VPU ops.
+    sin_t, cos_t = jnp.sin(theta), jnp.cos(theta)
+    sin_p, cos_p = jnp.sin(phi), jnp.cos(phi)
+    x_rot = cos_t * xp + sin_t * zp
+    x2 = cos_p * x_rot - sin_p * yp
+    y2 = sin_p * x_rot + cos_p * yp
+    z2 = -sin_t * xp + cos_t * zp
+
+    new_theta = jnp.arccos(jnp.clip(z2, -1, 1))
+    new_phi = jnp.sign(y2) * jnp.arccos(jnp.clip(x2 / jnp.sin(new_theta), -1, 1))
+    return jnp.stack([new_theta, new_phi], axis=-1)
+
+
+def mh_update(
+    params: ArrayTree,
+    f: LogPsiNetwork,
+    x1: jnp.ndarray,
+    key: PRNGKey,
+    lp_1: jnp.ndarray,
+    num_accepts: jnp.ndarray,
+    stddev: jnp.ndarray,
+):
+    """One all-electron Metropolis-Hastings move for the whole walker batch."""
+    key_new, key_sample, key_cond = jax.random.split(key, 3)
+    x2 = sph_sampling(key_sample, x1, stddev)
+    lp_2 = 2.0 * f(params, x2).real
+    ratio = lp_2 - lp_1
+
+    rnd = jnp.log(jax.random.uniform(key_cond, shape=lp_1.shape))
+    cond = ratio > rnd
+    x_new = jnp.where(cond[..., None, None], x2, x1)
+    lp_new = jnp.where(cond, lp_2, lp_1)
+    num_accepts += jnp.mean(cond.astype(jnp.float32))
+    return x_new, key_new, lp_new, num_accepts
+
+
+def make_mcmc_step(batch_network: LogPsiNetwork, steps: int = 10):
+    """Create the jitted MCMC step: ``steps`` MH moves on the global walker batch.
+
+    Args:
+        batch_network: Batched log-wavefunction ``(params, [batch, nelec, 2]) ->
+            [batch]`` complex.
+        steps: Number of MH moves per call.
+
+    Returns:
+        ``mcmc_step(params, data, key, width) -> (data, pmove)`` where ``pmove`` is the
+        global acceptance ratio (scalar, identical on all devices).
+    """
+
+    def mcmc_step(params: ArrayTree, data: jnp.ndarray, key: PRNGKey, width):
+        def step_fn(i, x):
+            return mh_update(params, batch_network, *x, stddev=width)
+
+        logprob = 2.0 * batch_network(params, data).real
+        data, _, _, num_accepts = lax.fori_loop(
+            0, steps, step_fn, (data, key, logprob, 0.0)
+        )
+        pmove = num_accepts / steps
+        return data, pmove
+
+    return mcmc_step
+
+
+def update_mcmc_width(
+    t: int,
+    width: jnp.ndarray,
+    adapt_frequency: int,
+    pmove: jnp.ndarray,
+    pmoves: np.ndarray,
+    pmove_max: float = 0.55,
+    pmove_min: float = 0.5,
+) -> tuple[jnp.ndarray, np.ndarray]:
+    """Host-side adaptive proposal width (reference ``mcmc.py:153-186``).
+
+    Every ``adapt_frequency`` steps, scale the width by 1.1 (or 1/1.1) if the running
+    mean acceptance is above ``pmove_max`` (below ``pmove_min``).
+
+    Args:
+        t: Current step index (relative to training start).
+        width: Current proposal width (scalar array).
+        adapt_frequency: Steps between width updates.
+        pmove: Latest acceptance ratio.
+        pmoves: Host-side ring buffer of recent acceptance ratios.
+
+    Returns:
+        Updated ``(width, pmoves)``.
+    """
+    t_since_update = t % adapt_frequency
+    pmoves[t_since_update] = float(jax.device_get(pmove))
+    if t > 0 and t_since_update == 0:
+        if np.mean(pmoves) > pmove_max:
+            width *= 1.1
+        elif np.mean(pmoves) < pmove_min:
+            width /= 1.1
+    return width, pmoves

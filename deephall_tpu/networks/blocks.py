@@ -1,0 +1,274 @@
+"""Neural building blocks: instrumented dense layers, attention, orbitals, Jastrow.
+
+The dense/attention/layer-norm primitives here are this framework's own
+implementations (not re-exports of Flax's), written so that
+
+* the parameter pytree is **checkpoint-compatible with the reference**: class names,
+  submodule names and kernel shapes match what ``flax.linen`` auto-names produce in the
+  reference Psiformer (``/root/reference/deephall/networks/psiformer.py:37-49``,
+  ``blocks.py:23-70``), so reference-trained ``.npz`` checkpoints load directly;
+
+* every layer carries **KFAC instrumentation**: inputs are sown (for the activation
+  Kronecker factor A) and outputs accept an additive zero "tap" (whose cotangent in a
+  single batched VJP yields the output-sensitivity factor G).  Both are exposed as
+  flat 2-D ``[repeats, fan]`` matrices so the optimizer needs no per-layer shape logic.
+  The collections are inert unless the KFAC optimizer asks for them — normal forward
+  passes trace to exactly the plain dense math.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+import jax
+import numpy as np
+from flax import linen as nn
+from jax import numpy as jnp
+
+from deephall_tpu.config import OrbitalType
+from deephall_tpu.geometry import chord_distances, spinors
+
+# Collection names used by the KFAC optimizer.
+KFAC_IN = "kfac_in"  # sown layer inputs, folded to [repeats, fan_in]
+KFAC_TAPS = "kfac_taps"  # additive output taps, folded to [repeats, fan_out]
+
+default_kernel_init = nn.initializers.lecun_normal()
+
+
+def _sow_input(mdl: nn.Module, x2d: jnp.ndarray) -> None:
+    if mdl.is_mutable_collection(KFAC_IN) and not mdl.is_initializing():
+        mdl.sow(KFAC_IN, "a", x2d)
+
+
+def _tap_output(mdl: nn.Module, y2d: jnp.ndarray) -> jnp.ndarray:
+    """Add the KFAC output tap (zeros) so its VJP cotangent equals dL/dy."""
+    if mdl.is_initializing():
+        return y2d
+    if mdl.has_variable(KFAC_TAPS, "tap"):
+        return y2d + mdl.get_variable(KFAC_TAPS, "tap")
+    if mdl.is_mutable_collection(KFAC_TAPS):
+        # Shape-capture pass: create the zero tap so callers learn its shape.
+        tap = mdl.variable(KFAC_TAPS, "tap", jnp.zeros, y2d.shape, y2d.dtype)
+        return y2d + tap.value
+    return y2d
+
+
+def _canonical_axes(axis, ndim: int) -> tuple[int, ...]:
+    axes = (axis,) if isinstance(axis, int) else tuple(axis)
+    return tuple(sorted(a % ndim for a in axes))
+
+
+class DenseGeneral(nn.Module):
+    """Linear transform over arbitrary contraction axes (flax-compatible params).
+
+    Kernel shape ``(*contracted_dims, *features)``; bias shape ``features``.
+    """
+
+    features: int | Sequence[int]
+    axis: int | Sequence[int] = -1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = (
+            (self.features,) if isinstance(self.features, int) else tuple(self.features)
+        )
+        axes = _canonical_axes(self.axis, x.ndim)
+        contract_shape = tuple(x.shape[a] for a in axes)
+        kernel = self.param(
+            "kernel", default_kernel_init, (*contract_shape, *features), jnp.float32
+        )
+        batch_axes = tuple(a for a in range(x.ndim) if a not in axes)
+        batch_shape = tuple(x.shape[a] for a in batch_axes)
+
+        # Fold to 2-D: [prod(batch), fan_in] @ [fan_in, fan_out].
+        fan_in = math.prod(contract_shape) if contract_shape else 1
+        fan_out = math.prod(features) if features else 1
+        x2d = jnp.transpose(x, batch_axes + axes).reshape(-1, fan_in)
+        _sow_input(self, x2d)
+        kernel2d = kernel.reshape(fan_in, fan_out)
+        if jnp.iscomplexobj(x):
+            kernel2d = kernel2d.astype(x.dtype)
+        y2d = x2d @ kernel2d
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(), features, jnp.float32)
+            y2d = y2d + bias.reshape(1, fan_out)
+        y2d = _tap_output(self, y2d)
+        return y2d.reshape(*batch_shape, *features)
+
+
+class Dense(nn.Module):
+    """Standard dense layer on the last axis (flax-compatible params)."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", default_kernel_init, (x.shape[-1], self.features), jnp.float32
+        )
+        x2d = x.reshape(-1, x.shape[-1])
+        _sow_input(self, x2d)
+        y2d = x2d @ kernel
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
+            )
+            y2d = y2d + bias
+        y2d = _tap_output(self, y2d)
+        return y2d.reshape(*x.shape[:-1], self.features)
+
+
+class LayerNorm(nn.Module):
+    """Layer normalization over the last axis (flax-compatible params)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        x_hat = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (feat,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (feat,), jnp.float32)
+        _sow_input(self, x_hat.reshape(-1, feat))
+        y2d = (x_hat * scale + bias).reshape(-1, feat)
+        y2d = _tap_output(self, y2d)
+        return y2d.reshape(x.shape)
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention over the electron axis (flax-compatible params).
+
+    Matches ``flax.linen.MultiHeadAttention(num_heads=H)`` applied to ``[T, D]``
+    inputs as used by the reference (``psiformer.py:44``): qkv projections named
+    ``query``/``key``/``value`` with kernels ``[D, H, D//H]``, scaled dot-product
+    softmax attention, and an output projection named ``out`` with kernel
+    ``[H, D//H, D]``.
+    """
+
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        features = x.shape[-1]
+        head_dim = features // self.num_heads
+        query = DenseGeneral((self.num_heads, head_dim), name="query")(x)
+        key = DenseGeneral((self.num_heads, head_dim), name="key")(x)
+        value = DenseGeneral((self.num_heads, head_dim), name="value")(x)
+
+        query = query / jnp.sqrt(head_dim).astype(x.dtype)
+        # [T, H, d] x [S, H, d] -> [H, T, S]
+        logits = jnp.einsum("...thd,...shd->...hts", query, key)
+        weights = jax.nn.softmax(logits, axis=-1)
+        attn = jnp.einsum("...hts,...shd->...thd", weights, value)
+        return DenseGeneral(features, axis=(-2, -1), name="out")(attn)
+
+
+class FeaturedOrbitals(nn.Module):
+    """Complex orbital head: real + i*imag dense projections per spin sector.
+
+    Reference ``blocks.py:23-35``.
+    """
+
+    nspins: tuple[int, int]
+    features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, h_one: jnp.ndarray) -> jnp.ndarray:
+        orbital_list = [
+            DenseGeneral(tuple(self.features))(h_alpha)
+            + 1j * DenseGeneral(tuple(self.features))(h_alpha)
+            for h_alpha in jnp.split(h_one, (self.nspins[0],))
+            if len(h_alpha)
+        ]
+        return jnp.concatenate(orbital_list)
+
+
+class Orbitals(nn.Module):
+    """Orbitals = learned features contracted against the monopole-harmonics envelope.
+
+    ``full``: one learned feature per LLL orbital (2Q+1), summed against the envelope
+    ``sqrt(C(2Q, Q-m)) u^{Q+m} v^{Q-m}``.  ``sparse``: 8 learned features lifted to
+    2Q+1 by a learned complex linear map.  Reference ``blocks.py:38-70``.
+    """
+
+    type: OrbitalType
+    Q: float
+    nspins: tuple[int, int]
+    ndets: int
+
+    def setup(self):
+        n_orb = int(2 * self.Q) + 1
+        self.norm_factor = jnp.asarray(
+            np.sqrt([math.comb(n_orb - 1, k) for k in range(n_orb)]), jnp.float32
+        )
+        if self.type == OrbitalType.full:
+            self.featured_orbitals = FeaturedOrbitals(
+                nspins=self.nspins,
+                features=(n_orb, sum(self.nspins), self.ndets),
+            )
+        elif self.type == OrbitalType.sparse:
+            self.featured_orbitals = FeaturedOrbitals(
+                nspins=self.nspins,
+                features=(8, sum(self.nspins), self.ndets),
+            )
+            self.lll_weight = DenseGeneral(n_orb, axis=1)
+
+    def __call__(self, h_one, theta, phi):
+        orbitals = self.featured_orbitals(h_one)  # [N, F, nelec, ndet] complex
+        if self.type == OrbitalType.sparse:
+            # Lift 8 features to 2Q+1 envelope channels: [N, nelec, ndet, 2Q+1]
+            orbitals = self.lll_weight(orbitals).transpose((0, 3, 1, 2))
+
+        m = jnp.arange(-self.Q, self.Q + 1)
+        u, v = spinors(theta, phi)
+        u, v = u[..., None], v[..., None]
+        envelope = self.norm_factor * u ** (self.Q + m) * v ** (self.Q - m)  # [N, 2Q+1]
+        orbitals = jnp.sum(orbitals * envelope[..., None, None], axis=1)  # [N, nelec, ndet]
+        return jnp.moveaxis(orbitals, -1, 0)  # [ndet, N, nelec]
+
+
+class Jastrow(nn.Module):
+    """Two-parameter electron-electron cusp factor on chord distances.
+
+    Separate parallel- and antiparallel-spin channels (reference ``blocks.py:73-121``).
+    """
+
+    nspins: tuple[int, int]
+
+    @nn.compact
+    def __call__(self, electrons: jnp.ndarray) -> jnp.ndarray:
+        nspins = self.nspins
+        r_ee = chord_distances(electrons)
+        blocks = [
+            jnp.split(r, nspins[0:1], axis=1)
+            for r in jnp.split(r_ee, nspins[0:1], axis=0)
+        ]
+        r_ees_parallel = jnp.concatenate(
+            [
+                blocks[0][0][jnp.triu_indices(nspins[0], k=1)],
+                blocks[1][1][jnp.triu_indices(nspins[1], k=1)],
+            ]
+        )
+
+        if r_ees_parallel.shape[0] > 0:
+            alpha_par = self.param("ee_par", nn.initializers.ones, (1,))
+            jastrow_ee_par = jnp.sum(
+                -(0.25 * alpha_par**2) / (alpha_par + r_ees_parallel)
+            )
+        else:
+            jastrow_ee_par = jnp.asarray(0.0)
+
+        if blocks[0][1].shape[0] > 0 and blocks[0][1].shape[1] > 0:
+            alpha_anti = self.param("ee_anti", nn.initializers.ones, (1,))
+            jastrow_ee_anti = jnp.sum(
+                -(0.5 * alpha_anti**2) / (alpha_anti + blocks[0][1])
+            )
+        else:
+            jastrow_ee_anti = jnp.asarray(0.0)
+
+        return jastrow_ee_anti + jastrow_ee_par

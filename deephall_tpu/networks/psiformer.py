@@ -1,0 +1,88 @@
+"""Psiformer attention wavefunction on the monopole sphere.
+
+Reimplementation of the reference network (``/root/reference/deephall/networks/
+psiformer.py``, itself after Glehn et al., ICLR 2023): Cartesian + spin input features,
+a stack of attention blocks with LayerNorms and tanh-MLP residuals, complex orbitals
+against the monopole-harmonics envelope, a two-channel Jastrow factor, and a signed
+log-sum of determinants.
+
+Built from this framework's instrumented primitives (``blocks.py``) so the parameter
+tree matches the reference layout exactly and KFAC can capture per-layer curvature
+statistics without graph pattern matching.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+from jax import numpy as jnp
+
+from deephall_tpu.config import OrbitalType
+from deephall_tpu.networks.blocks import (
+    Dense,
+    Jastrow,
+    LayerNorm,
+    MultiHeadAttention,
+    Orbitals,
+)
+from deephall_tpu.ops.slogdet import signed_logsumdet
+
+
+class PsiformerLayers(nn.Module):
+    """Attention feature tower over the electron axis."""
+
+    num_heads: int
+    heads_dim: int
+    num_layers: int
+
+    @nn.compact
+    def __call__(self, electrons: jnp.ndarray, spins: jnp.ndarray):
+        theta, phi = electrons[..., 0], electrons[..., 1]
+        h_one = self.input_feature(theta, phi, spins)
+        attention_dim = self.num_heads * self.heads_dim
+        h_one = Dense(attention_dim, use_bias=False)(h_one)
+        for _ in range(self.num_layers):
+            attn_out = MultiHeadAttention(num_heads=self.num_heads)(h_one)
+            h_one += Dense(attention_dim, use_bias=False)(attn_out)
+            h_one = LayerNorm(epsilon=1e-5)(h_one)
+            h_one += nn.tanh(Dense(attention_dim)(h_one))
+            h_one = LayerNorm(epsilon=1e-5)(h_one)
+        return h_one
+
+    def input_feature(self, theta: jnp.ndarray, phi: jnp.ndarray, spins: jnp.ndarray):
+        return jnp.stack(
+            [
+                jnp.cos(theta),
+                jnp.sin(theta) * jnp.cos(phi),
+                jnp.sin(theta) * jnp.sin(phi),
+                spins,
+            ],
+            axis=-1,
+        )
+
+
+class Psiformer(nn.Module):
+    nspins: tuple[int, int]
+    Q: float
+    ndets: int
+    num_heads: int
+    heads_dim: int
+    num_layers: int
+    orbital_type: OrbitalType
+
+    def __call__(self, electrons):
+        return signed_logsumdet(self.orbitals(electrons))
+
+    @nn.compact
+    def orbitals(self, electrons):
+        theta, phi = electrons[..., 0], electrons[..., 1]
+        spins = jnp.array([1] * self.nspins[0] + [-1] * self.nspins[1])
+        h_one = PsiformerLayers(
+            num_heads=self.num_heads,
+            num_layers=self.num_layers,
+            heads_dim=self.heads_dim,
+        )(electrons, spins)
+        orbitals = Orbitals(
+            type=self.orbital_type, Q=self.Q, nspins=self.nspins, ndets=self.ndets
+        )(h_one, theta, phi)
+        jastrow = Jastrow(self.nspins)(electrons)
+        return jnp.exp(jastrow / sum(self.nspins)) * orbitals

@@ -1,0 +1,48 @@
+"""Optimizer dispatch (reference parity: ``optimizers/__init__.py:25-35``).
+
+All steps share the training-step interface ``(CheckpointState, key) ->
+(CheckpointState, LossStats)`` and are pure functions; the driver jits them once over
+the global mesh.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from deephall_tpu.config import Config, OptimizerName
+from deephall_tpu.loss import LossMode, make_loss_fn
+from deephall_tpu.optimizers.adam import make_adam_training_step
+from deephall_tpu.optimizers.kfac import make_kfac_training_step
+from deephall_tpu.optimizers.none import make_inference_step
+from deephall_tpu.types import TrainingInit, TrainingStep
+
+
+def make_optimizer_step(
+    cfg: Config, model: nn.Module, sample_config
+) -> tuple[TrainingInit, TrainingStep]:
+    """Build the optimizer (init, step) pair for the configured optimizer.
+
+    Args:
+        cfg: Full configuration.
+        model: The wavefunction module (KFAC uses its curvature collections).
+        sample_config: One electron configuration ``[nelec, 2]`` for shape discovery.
+
+    Returns:
+        ``(init, step)`` pure functions.
+
+    Raises:
+        ValueError: for unknown optimizer names.
+    """
+    network = model.apply
+    if cfg.optim.optimizer == OptimizerName.adam:
+        loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD)
+        return make_adam_training_step(cfg.optim.adam, loss_grad_fn)
+    if cfg.optim.optimizer == OptimizerName.kfac:
+        loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD)
+        return make_kfac_training_step(
+            cfg.optim.kfac, loss_grad_fn, model, sample_config
+        )
+    if cfg.optim.optimizer == OptimizerName.none:
+        loss_diff_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF)
+        return make_inference_step(loss_diff_fn)
+    raise ValueError(f"Optimizer {cfg.optim.optimizer} is not implemented!")

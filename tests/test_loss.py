@@ -1,0 +1,94 @@
+"""Loss tests: the single-VJP tangent must equal the reference's per-sample estimator."""
+
+import jax
+import jax.numpy as jnp
+
+from deephall_tpu.config import Network, System
+from deephall_tpu.loss import LossMode, iqr_clip, make_loss_fn
+from deephall_tpu.networks import make_network
+
+
+def _setup(batch=8):
+    system = System(flux=2, nspins=(3, 0), interaction_strength=0.0)
+    net = Network()
+    net.psiformer.num_layers = 1
+    net.psiformer.num_heads = 1
+    net.psiformer.heads_dim = 4
+    model = make_network(system, net)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    theta = jnp.arccos(jax.random.uniform(k1, (batch, 3), minval=-1, maxval=1))
+    phi = jax.random.uniform(k2, (batch, 3), minval=-jnp.pi, maxval=jnp.pi)
+    data = jnp.stack([theta, phi], axis=-1)
+    params = model.init(k3, data[0])
+    return system, model, params, data
+
+
+def _reference_tangent(network, params, data, diff):
+    """Reference estimator: per-sample parameter gradients, then weighted nanmean
+    (``/root/reference/deephall/loss.py:53-64,96-106``)."""
+    df_real = jax.vmap(
+        jax.value_and_grad(lambda p, x: network(p, x).real), in_axes=(None, 0)
+    )
+    df_imag = jax.vmap(
+        jax.value_and_grad(lambda p, x: network(p, x).imag), in_axes=(None, 0)
+    )
+    _, tangent_real = df_real(params, data)
+    _, tangent_imag = df_imag(params, data)
+
+    def loss_prod(grad_conj, d):
+        d = d.reshape(d.shape + (1,) * (grad_conj.ndim - d.ndim))
+        return jnp.nan_to_num(2 * jnp.nanmean(grad_conj * d, axis=0))
+
+    return jax.tree.map(
+        lambda re, im: loss_prod(re - 1j * im, diff), tangent_real, tangent_imag
+    )
+
+
+def test_energy_grad_matches_reference_estimator():
+    system, model, params, data = _setup()
+    network = model.apply
+    loss_fn = make_loss_fn(network, system, LossMode.ENERGY_GRAD)
+    stats, grads = jax.jit(loss_fn)(params, data)
+
+    # Rebuild diff exactly as the loss does, then apply the reference estimator.
+    diff_fn = make_loss_fn(network, system, LossMode.ENERGY_DIFF)
+    _, diff = diff_fn(params, data)
+    expected = jax.tree.map(jnp.real, _reference_tangent(network, params, data, diff))
+
+    for ours, ref in zip(jax.tree.leaves(grads), jax.tree.leaves(expected)):
+        assert jnp.allclose(ours, ref, atol=1e-5), (ours, ref)
+
+
+def test_sr_f_vector_matches_reference_estimator():
+    system, model, params, data = _setup()
+    network = model.apply
+    loss_fn = make_loss_fn(network, system, LossMode.SR_F_VECTOR)
+    _, tangent = jax.jit(loss_fn)(params, data)
+    diff_fn = make_loss_fn(network, system, LossMode.ENERGY_DIFF)
+    _, diff = diff_fn(params, data)
+    expected = _reference_tangent(network, params, data, diff)
+    for ours, ref in zip(jax.tree.leaves(tangent), jax.tree.leaves(expected)):
+        assert jnp.allclose(ours, ref, atol=1e-5)
+
+
+def test_iqr_clip():
+    x = jnp.array([0.0, 1.0, 2.0, 3.0, 1000.0]) + 1j * jnp.zeros(5)
+    clipped = iqr_clip(x, scale=1.0)
+    assert clipped.real[-1] < 1000.0
+    assert jnp.allclose(clipped.real[:4], x.real[:4])
+
+
+def test_stats_fields():
+    system, model, params, data = _setup()
+    loss_fn = make_loss_fn(model.apply, system, LossMode.ENERGY_DIFF)
+    stats, _ = jax.jit(loss_fn)(params, data)
+    for key in (
+        "energy",
+        "variance",
+        "kinetic",
+        "potential",
+        "angular_momentum_z",
+        "angular_momentum_z_square",
+        "angular_momentum_square",
+    ):
+        assert key in stats
