@@ -1,12 +1,14 @@
 """Benchmark: VMC iterations/sec at the production config (N=6, 2Q=15, nu=1/3).
 
-Runs the full hot loop (10-step MCMC + KFAC training step) on the available device(s)
-at the reference's production workload (``/root/reference/README.md:33-36``: batch
-3360, KFAC, 10 MCMC steps/iter) and prints ONE JSON line.
+Runs the full hot loop (10-step MCMC + in-graph width adaptation + KFAC training
+step) at the reference's production workload (``/root/reference/README.md:33-36``:
+batch 3360, KFAC, 10 MCMC steps/iter) using the same fused iteration block as the
+training driver (``lax.scan`` over iterations inside one dispatch), and prints ONE
+JSON line.
 
-The reference publishes no throughput numbers (BASELINE.md); the ``vs_baseline`` field
-is therefore measured against the round-1 recorded value of this framework itself
-(BASELINE_ITS_PER_SEC below), so improvements across rounds are visible.
+The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline`` is
+measured against this framework's round-1 first recorded value
+(BASELINE_ITS_PER_SEC), so improvements across rounds are visible.
 """
 
 from __future__ import annotations
@@ -18,12 +20,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-# Round-1 recorded throughput on one TPU v5 lite chip (iterations/sec).
-# Update when the recorded hardware baseline changes.
+# Round-1 first recorded throughput on one TPU v5 lite chip (iterations/sec).
 BASELINE_ITS_PER_SEC = 1.0244
 
-WARMUP = 3
-ITERS = 10
+BLOCK = 10
+MEASURE_BLOCKS = 3
 
 
 def main() -> None:
@@ -32,16 +33,18 @@ def main() -> None:
     from deephall_tpu.config import Config
     from deephall_tpu.mcmc import make_mcmc_step
     from deephall_tpu.networks import make_network
-    from deephall_tpu.train import init_guess
+    from deephall_tpu.train import init_guess, make_iteration_block
     from deephall_tpu.types import CheckpointState
-    from deephall_tpu.utils import pack_complex
+    from deephall_tpu.utils import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = Config()
     cfg.seed = 42
     cfg.system.nspins = (6, 0)
     cfg.system.flux = 15
     cfg.batch_size = 3360
     cfg.optim.optimizer = "kfac"
+    cfg.optim.block_size = BLOCK
 
     mesh = parallel.get_mesh()
     n_devices = len(mesh.devices.flatten())
@@ -59,40 +62,30 @@ def main() -> None:
     )
     width = jax.device_put(jnp.asarray(cfg.mcmc.width), rep_sharding)
 
-    batch_network = jax.vmap(model.apply, in_axes=(None, 0))
-    mcmc_step = jax.jit(
-        make_mcmc_step(batch_network, steps=cfg.mcmc.steps), donate_argnums=(1,)
+    mcmc_step_fn = make_mcmc_step(
+        jax.vmap(model.apply, in_axes=(None, 0)), steps=cfg.mcmc.steps
     )
     opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample)
     opt_state = jax.jit(opt_init)(params, jax.random.PRNGKey(2), data)
 
-    def step_packed(state, key):
-        new_state, stats = training_step(state, key)
-        return new_state, pack_complex(stats)
-
-    jit_step = jax.jit(step_packed, donate_argnums=(0,))
-
+    block = make_iteration_block(cfg, mcmc_step_fn, training_step)
     state = CheckpointState(params, data, opt_state, width)
     key = jax.random.PRNGKey(3)
+    pmoves = jax.device_put(jnp.zeros(cfg.mcmc.adapt_frequency), rep_sharding)
+    t = jax.device_put(jnp.zeros((), jnp.int32), rep_sharding)
 
-    def one_iter(state, key):
-        key, k1, k2 = jax.random.split(key, 3)
-        new_data, pmove = mcmc_step(state.params, state.data, k1, state.mcmc_width)
-        state = state._replace(data=new_data)
-        state, stats = jit_step(state, k2)
-        return state, stats, key
-
-    for _ in range(WARMUP):
-        state, stats, key = one_iter(state, key)
-    jax.block_until_ready(state)
+    # Warmup (compile + steady state).
+    state, key, pmoves, t, outs = block(state, key, pmoves, t, BLOCK)
+    jax.block_until_ready(outs)
 
     start = time.perf_counter()
-    for _ in range(ITERS):
-        state, stats, key = one_iter(state, key)
-    jax.block_until_ready(state)
+    for _ in range(MEASURE_BLOCKS):
+        state, key, pmoves, t, outs = block(state, key, pmoves, t, BLOCK)
+    jax.block_until_ready(outs)
     elapsed = time.perf_counter() - start
 
-    its_per_sec = ITERS / elapsed
+    stats, _ = outs
+    its_per_sec = BLOCK * MEASURE_BLOCKS / elapsed
     print(
         json.dumps(
             {
@@ -101,7 +94,7 @@ def main() -> None:
                 "unit": "iter/s",
                 "vs_baseline": round(its_per_sec / BASELINE_ITS_PER_SEC, 4),
                 "devices": n_devices,
-                "energy": round(float(stats["energy"].real), 4),
+                "energy": round(float(stats["energy"].real[-1]), 4),
             }
         )
     )

@@ -42,7 +42,7 @@ from deephall_tpu.config import (
 from deephall_tpu.log import CheckpointState, LogManager, init_logging
 from deephall_tpu.loss import LossMode, make_loss_fn
 from deephall_tpu.networks import make_network
-from deephall_tpu.utils import pack_complex, unpack_complex
+from deephall_tpu.utils import enable_compilation_cache, pack_complex, unpack_complex
 
 logger = logging.getLogger("deephall")
 
@@ -55,9 +55,61 @@ def init_guess(key, batch: int, nelec: int) -> jnp.ndarray:
     return jnp.stack([theta, phi], axis=-1)
 
 
+def make_iteration_block(cfg: Config, mcmc_step_fn, training_step):
+    """Build the fused per-iteration device program.
+
+    One iteration = MCMC sweep -> in-graph adaptive-width update -> optimizer step.
+    ``lax.scan`` fuses ``length`` iterations into a single dispatch so the host
+    round-trip (tens of ms on tunnelled TPU runtimes) is paid once per block, and the
+    proposal-width adaptation runs entirely on device (ring buffer in the scan carry,
+    same thresholds/semantics as the reference's host-side
+    ``update_mcmc_width``, ``mcmc.py:153-186``).
+
+    Returns:
+        ``block(state, key, pmoves, t, length)`` — jit-compiled per distinct
+        ``length`` — returning ``(state, key, pmoves, t, (stats, pmove))`` with
+        per-iteration statistics stacked along the leading axis.
+    """
+    adapt = cfg.mcmc.adapt_frequency
+
+    def body(carry, _):
+        state, key, pmoves, t = carry
+        key, k_mcmc, k_opt = jax.random.split(key, 3)
+        new_data, pmove = mcmc_step_fn(
+            state.params, state.data, k_mcmc, state.mcmc_width
+        )
+        idx = t % adapt
+        pmoves = pmoves.at[idx].set(pmove)
+        do_update = (t > 0) & (idx == 0)
+        mean_pmove = jnp.mean(pmoves)
+        width = state.mcmc_width
+        width = jnp.where(do_update & (mean_pmove > 0.55), width * 1.1, width)
+        width = jnp.where(do_update & (mean_pmove < 0.5), width / 1.1, width)
+        state = state._replace(data=new_data, mcmc_width=width)
+        state, stats = training_step(state, k_opt)
+        return (state, key, pmoves, t + 1), (pack_complex(stats), pmove)
+
+    compiled: dict[int, object] = {}
+
+    def block(state, key, pmoves, t, length: int):
+        if length not in compiled:
+
+            def run(state, key, pmoves, t):
+                (state, key, pmoves, t), outs = jax.lax.scan(
+                    body, (state, key, pmoves, t), length=length
+                )
+                return state, key, pmoves, t, outs
+
+            compiled[length] = jax.jit(run, donate_argnums=(0,))
+        return compiled[length](state, key, pmoves, t)
+
+    return block
+
+
 def train(cfg: Config) -> None:
     """Run the full VMC training loop for the given configuration."""
     jax.config.update("jax_default_matmul_precision", "highest")
+    enable_compilation_cache()
     init_logging()
     log_manager = LogManager(cfg)
     parallel.initialize_distributed()
@@ -76,17 +128,10 @@ def train(cfg: Config) -> None:
     batch_network = jax.vmap(network, in_axes=(None, 0))
 
     sample_config = jnp.zeros((nelec, 2))
-    mcmc_step = jax.jit(
-        mcmc.make_mcmc_step(batch_network, steps=cfg.mcmc.steps),
-        donate_argnums=(1,),
-    )
+    mcmc_step_fn = mcmc.make_mcmc_step(batch_network, steps=cfg.mcmc.steps)
+    mcmc_step = jax.jit(mcmc_step_fn, donate_argnums=(1,))
     opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample_config)
-
-    def training_step_packed(state, key):
-        new_state, stats = training_step(state, key)
-        return new_state, pack_complex(stats)
-
-    jit_training_step = jax.jit(training_step_packed, donate_argnums=(0,))
+    iteration_block = make_iteration_block(cfg, mcmc_step_fn, training_step)
     energy_probe = jax.jit(
         lambda params, data: pack_complex(
             make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF)(params, data)[0]
@@ -127,7 +172,6 @@ def train(cfg: Config) -> None:
 
     logger.info("Start VMC with %s JAX devices", n_devices)
 
-    pmoves = np.zeros(cfg.mcmc.adapt_frequency)
     if initial_step == 0:
         for _ in range(cfg.mcmc.burn_in):
             key, subkey = jax.random.split(key)
@@ -140,55 +184,73 @@ def train(cfg: Config) -> None:
             logger.info("Initial energy: %s", initial_stats["energy"].real)
 
     state = CheckpointState(params, data, opt_state, mcmc_width)
+    pmoves_dev = jax.device_put(jnp.zeros(cfg.mcmc.adapt_frequency), rep_sharding)
+    t_dev = jax.device_put(jnp.zeros((), jnp.int32), rep_sharding)
 
     last_save_time = time.time()
     killer = GracefulKiller()
+    profiling = False
+    block_size = max(1, cfg.optim.block_size)
     with log_manager.create_writer() as writer:
-        writer.hide("kinetic", "potential", "Lz_square")
-        for step in range(initial_step, cfg.optim.iterations):
-            key, subkey = jax.random.split(key)
-            new_data, pmove = mcmc_step(
-                state.params, state.data, subkey, state.mcmc_width
+        writer.hide("kinetic", "potential", "Lz_square", "step_time")
+        step = initial_step
+        while step < cfg.optim.iterations:
+            length = min(block_size, cfg.optim.iterations - step)
+            if cfg.log.profile_dir is not None:
+                rel = step - initial_step
+                if not profiling and rel + length > cfg.log.profile_start:
+                    jax.profiler.start_trace(cfg.log.profile_dir)
+                    profiling = True
+                elif (
+                    profiling
+                    and rel >= cfg.log.profile_start + cfg.log.profile_steps
+                ):
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("Saved profiler trace to %s", cfg.log.profile_dir)
+            block_start = time.perf_counter()
+            state, key, pmoves_dev, t_dev, (packed_stats, pmove) = iteration_block(
+                state, key, pmoves_dev, t_dev, length
             )
-            new_mcmc_width, pmoves = mcmc.update_mcmc_width(
-                step - initial_step,
-                state.mcmc_width,
-                cfg.mcmc.adapt_frequency,
-                pmove,
-                pmoves,
-            )
-            state = state._replace(data=new_data, mcmc_width=new_mcmc_width)
-            key, subkey = jax.random.split(key)
-            state, packed_stats = jit_training_step(state, subkey)
-            stats = unpack_complex(jax.device_get(packed_stats))
-            writer.log(
-                step=str(step),
-                pmove=f"{float(jax.device_get(pmove)):.2f}",
-                energy=f"{stats['energy'].real:.4f}",
-                energy_imag=f"{stats['energy'].imag:+.4f}",
-                potential=f"{stats['potential']:.4f}",
-                kinetic=f"{stats['kinetic'].real:.4f}",
-                variance=f"{stats['variance']:.4f}",
-                Lz=f"{stats['angular_momentum_z']:+.4f}",
-                Lz_square=f"{stats['angular_momentum_z_square']:.4f}",
-                L_square=f"{stats['angular_momentum_square']:.4f}",
-            )
-            energy_is_nan = np.isnan(stats["energy"].real)
+            all_stats = unpack_complex(jax.device_get(packed_stats))
+            pmove_host = np.asarray(jax.device_get(pmove))
+            step_time = (time.perf_counter() - block_start) / length
+            for i in range(length):
+                stats = jax.tree.map(lambda x: x[i], all_stats)
+                writer.log(
+                    step=str(step + i),
+                    pmove=f"{pmove_host[i]:.2f}",
+                    energy=f"{stats['energy'].real:.4f}",
+                    energy_imag=f"{stats['energy'].imag:+.4f}",
+                    potential=f"{stats['potential']:.4f}",
+                    kinetic=f"{stats['kinetic'].real:.4f}",
+                    variance=f"{stats['variance']:.4f}",
+                    Lz=f"{stats['angular_momentum_z']:+.4f}",
+                    Lz_square=f"{stats['angular_momentum_z_square']:.4f}",
+                    L_square=f"{stats['angular_momentum_square']:.4f}",
+                    step_time=f"{step_time:.4f}",
+                )
+            step += length
+            energy_is_nan = bool(np.isnan(all_stats["energy"].real).any())
             current_time = time.time()
             if (
                 (
                     current_time - last_save_time > cfg.log.save_time_interval
-                    and (step + 1) % cfg.log.save_step_interval == 0
+                    and step % cfg.log.save_step_interval == 0
                 )
                 or energy_is_nan
-                or step == cfg.optim.iterations - 1
+                or step >= cfg.optim.iterations
                 or killer.kill_now
             ):
                 last_save_time = current_time
                 writer.force_flush()
-                log_manager.save_checkpoint(step, state)
+                log_manager.save_checkpoint(step - 1, state)
             if killer.kill_now or energy_is_nan:
+                if profiling:
+                    jax.profiler.stop_trace()
                 raise SystemExit("=" * 30 + " ABORT " + "=" * 30)
+        if profiling:
+            jax.profiler.stop_trace()
 
 
 class GracefulKiller:

@@ -8,10 +8,27 @@ Python complex numbers.
 
 from __future__ import annotations
 
+import os
 from typing import Any, NamedTuple
 
 import jax
 from jax import numpy as jnp
+
+
+def enable_compilation_cache() -> None:
+    """Enable the persistent XLA compilation cache.
+
+    On tunnelled/remote TPU runtimes a fresh compile of the training step takes
+    minutes; the on-disk cache makes reruns of the same config near-instant.
+    Honours ``JAX_COMPILATION_CACHE_DIR`` if set.
+    """
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.cache/jax_comp_cache"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 class ComplexPair(NamedTuple):
@@ -29,9 +46,13 @@ def pack_complex(tree: Any) -> Any:
 
 
 def unpack_complex(tree: Any) -> Any:
-    """Re-form complex numpy scalars from ComplexPair leaves (host side)."""
+    """Re-form complex numpy arrays from ComplexPair leaves (host side)."""
+    import numpy as np
+
     return jax.tree.map(
-        lambda x: complex(x.real, x.imag) if isinstance(x, ComplexPair) else x,
+        lambda x: np.asarray(x.real) + 1j * np.asarray(x.imag)
+        if isinstance(x, ComplexPair)
+        else x,
         tree,
         is_leaf=lambda x: isinstance(x, ComplexPair),
     )

@@ -8,7 +8,11 @@ Run on any backend; on the real TPU chip this guides kernel work:
 from __future__ import annotations
 
 import argparse
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

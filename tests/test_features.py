@@ -1,0 +1,115 @@
+"""Feature-coverage tests: penalties, multi-determinant, two spin sectors,
+harmonic interaction, radius override, quasihole/quasiparticle Laughlin states."""
+
+import jax
+import jax.numpy as jnp
+
+from deephall_tpu.config import Config, InteractionType, Network, System
+from deephall_tpu.hamiltonian import local_energy
+from deephall_tpu.loss import LossMode, make_loss_fn
+from deephall_tpu.networks import make_network
+from deephall_tpu.networks.laughlin import Laughlin
+from deephall_tpu.train import init_guess
+
+
+def _psiformer(system, **kwargs):
+    net = Network()
+    net.psiformer.num_layers = 1
+    net.psiformer.num_heads = 1
+    net.psiformer.heads_dim = 4
+    for k, v in kwargs.items():
+        setattr(net.psiformer, k, v)
+    return make_network(system, net)
+
+
+def test_lz_l2_penalties_produce_finite_grads():
+    system = System(
+        flux=2, nspins=(3, 0), interaction_strength=0.0,
+        lz_penalty=0.5, lz_center=1.0, l2_penalty=0.3,
+    )
+    model = _psiformer(system)
+    data = init_guess(jax.random.PRNGKey(0), 8, 3)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), data[0])
+    loss_fn = make_loss_fn(model.apply, system, LossMode.ENERGY_GRAD)
+    stats, grads = jax.jit(loss_fn)(params, data)
+    assert jnp.isfinite(stats["energy"].real)
+    for leaf in jax.tree.leaves(grads):
+        assert jnp.all(jnp.isfinite(leaf))
+
+
+def test_multi_determinant():
+    system = System(flux=2, nspins=(3, 0))
+    model = _psiformer(system, determinants=4)
+    data = init_guess(jax.random.PRNGKey(0), 4, 3)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), data[0])
+    out = jax.vmap(lambda x: model.apply(params, x))(data)
+    assert jnp.all(jnp.isfinite(out.real))
+    # orbital head produces ndet determinants
+    kernel = params["params"]["Orbitals_0"]["featured_orbitals"]["DenseGeneral_0"][
+        "kernel"
+    ]
+    assert kernel.shape[-1] == 4
+
+
+def test_two_spin_sectors():
+    system = System(flux=4, nspins=(2, 1))
+    model = _psiformer(system)
+    data = init_guess(jax.random.PRNGKey(0), 4, 3)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), data[0])
+    out = jax.vmap(lambda x: model.apply(params, x))(data)
+    assert jnp.all(jnp.isfinite(out.real))
+    # both spin sectors and both Jastrow channels materialise
+    fo = params["params"]["Orbitals_0"]["featured_orbitals"]
+    assert set(fo) == {
+        "DenseGeneral_0", "DenseGeneral_1", "DenseGeneral_2", "DenseGeneral_3"
+    }
+    assert set(params["params"]["Jastrow_0"]) == {"ee_par", "ee_anti"}
+    el = jax.vmap(
+        local_energy(model.apply, system), in_axes=(None, 0)
+    )(params, data)
+    assert jnp.all(jnp.isfinite(el[0].real))
+
+
+def test_harmonic_interaction_and_radius():
+    system = System(
+        flux=2, nspins=(3, 0), interaction_type=InteractionType.harmonic, radius=2.5
+    )
+    model = _psiformer(system)
+    data = init_guess(jax.random.PRNGKey(0), 4, 3)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), data[0])
+    el, obs = jax.vmap(local_energy(model.apply, system), in_axes=(None, 0))(
+        params, data
+    )
+    assert jnp.all(jnp.isfinite(el.real))
+
+
+def test_laughlin_quasihole():
+    # N=2Q1 -> quasihole branch: flux=8, p=1, N=3 => Q1 = 4 - 2 = 2, 2*Q1=4 != 3.
+    # Choose flux so that nelec == 2*Q1: N=4, Q1=2 -> flux/2 - 3 = 2 -> flux=10.
+    model = Laughlin(nspins=(4, 0), flux=10, excitation_lz=0)
+    data = init_guess(jax.random.PRNGKey(0), 3, 4)
+    params = model.init(jax.random.PRNGKey(1), data[0])
+    out = jax.vmap(lambda x: model.apply(params, x))(data)
+    assert jnp.all(jnp.isfinite(out.real))
+
+
+def test_laughlin_quasiparticle():
+    # nelec == 2*Q1 + 2: N=4, Q1=1 -> flux/2 - 3 = 1 -> flux=8.
+    model = Laughlin(nspins=(4, 0), flux=8, excitation_lz=0)
+    data = init_guess(jax.random.PRNGKey(0), 3, 4)
+    params = model.init(jax.random.PRNGKey(1), data[0])
+    out = jax.vmap(lambda x: model.apply(params, x))(data)
+    assert jnp.all(jnp.isfinite(out.real))
+
+
+def test_interaction_strength_scales_potential():
+    base = System(flux=2, nspins=(3, 0), interaction_strength=1.0)
+    double = System(flux=2, nspins=(3, 0), interaction_strength=2.0)
+    model = _psiformer(base)
+    data = init_guess(jax.random.PRNGKey(0), 2, 3)
+    params = jax.jit(model.init)(jax.random.PRNGKey(1), data[0])
+    _, obs1 = jax.vmap(local_energy(model.apply, base), in_axes=(None, 0))(params, data)
+    _, obs2 = jax.vmap(local_energy(model.apply, double), in_axes=(None, 0))(
+        params, data
+    )
+    assert jnp.allclose(obs2["potential"], 2 * obs1["potential"], atol=1e-5)
