@@ -74,8 +74,11 @@ def main() -> None:
     pmoves = jax.device_put(jnp.zeros(cfg.mcmc.adapt_frequency), rep_sharding)
     t = jax.device_put(jnp.zeros((), jnp.int32), rep_sharding)
 
-    # Warmup (compile + steady state).
-    state, key, pmoves, t, outs = block(state, key, pmoves, t, BLOCK)
+    # Warmup twice: the first call compiles for the initial (host-placed) input
+    # shardings; its outputs carry the jit-chosen shardings, so the second call
+    # compiles the steady-state signature that the measured calls then reuse.
+    for _ in range(2):
+        state, key, pmoves, t, outs = block(state, key, pmoves, t, BLOCK)
     jax.block_until_ready(outs)
 
     start = time.perf_counter()
