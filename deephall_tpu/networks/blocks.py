@@ -19,6 +19,7 @@ implementations (not re-exports of Flax's), written so that
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Sequence
 
 import jax
@@ -34,6 +35,10 @@ KFAC_IN = "kfac_in"  # sown layer inputs, folded to [repeats, fan_in]
 KFAC_TAPS = "kfac_taps"  # additive output taps, folded to [repeats, fan_out]
 
 default_kernel_init = nn.initializers.lecun_normal()
+
+# Attention contraction lowering: "vpu" (broadcast-multiply-reduce) or "einsum"
+# (MXU batched gemms).  Overridable for benchmarking via DEEPHALL_ATTENTION_IMPL.
+ATTENTION_IMPL = os.environ.get("DEEPHALL_ATTENTION_IMPL", "vpu")
 
 
 def _sow_input(mdl: nn.Module, x2d: jnp.ndarray) -> None:
@@ -161,19 +166,24 @@ class MultiHeadAttention(nn.Module):
         value = DenseGeneral((self.num_heads, head_dim), name="value")(x)
 
         query = query / jnp.sqrt(head_dim).astype(x.dtype)
-        # TPU note: with only a handful of electron tokens, per-head [T, d] x [d, S]
-        # batched gemms waste the 128x128 MXU (<1% utilisation).  Broadcast-multiply-
-        # reduce keeps the contraction on the VPU, where XLA fuses it, and measures
-        # ~30% faster than the einsum lowering at production shapes.
-        # [..., T, H, d] x [..., S, H, d] -> [..., T, S, H]
-        logits = jnp.sum(
-            query[..., :, None, :, :] * key[..., None, :, :, :], axis=-1
-        )
-        weights = jax.nn.softmax(logits, axis=-2)
-        # [..., T, S, H] x [..., S, H, d] -> [..., T, H, d]
-        attn = jnp.sum(
-            weights[..., None] * value[..., None, :, :, :], axis=-3
-        )
+        if ATTENTION_IMPL == "vpu":
+            # TPU note: with only a handful of electron tokens, per-head [T, d] x
+            # [d, S] batched gemms waste the 128x128 MXU (<1% utilisation).
+            # Broadcast-multiply-reduce keeps the contraction on the VPU, where XLA
+            # fuses it (~30% faster forward at production shapes).
+            # [..., T, H, d] x [..., S, H, d] -> [..., T, S, H]
+            logits = jnp.sum(
+                query[..., :, None, :, :] * key[..., None, :, :, :], axis=-1
+            )
+            weights = jax.nn.softmax(logits, axis=-2)
+            # [..., T, S, H] x [..., S, H, d] -> [..., T, H, d]
+            attn = jnp.sum(
+                weights[..., None] * value[..., None, :, :, :], axis=-3
+            )
+        else:  # "einsum": MXU batched-gemm lowering
+            logits = jnp.einsum("...thd,...shd->...hts", query, key)
+            weights = jax.nn.softmax(logits, axis=-1)
+            attn = jnp.einsum("...hts,...shd->...thd", weights, value)
         return DenseGeneral(features, axis=(-2, -1), name="out")(attn)
 
 

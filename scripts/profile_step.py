@@ -1,6 +1,7 @@
-"""Decompose per-iteration wall time: MCMC vs loss+grad vs KFAC extras.
+"""Decompose per-iteration wall time: forward, MCMC, local energy, KFAC, full block.
 
-Run on any backend; on the real TPU chip this guides kernel work:
+Measures with *chained dispatches and one final sync* — on tunnelled TPU runtimes a
+per-call host readback costs ~27 ms and poisons naive timings.
 
     python scripts/profile_step.py [--flux 15] [--nelec 6] [--batch 3360]
 """
@@ -16,17 +17,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def timeit(fn, *args, n=5, **kwargs):
-    out = fn(*args, **kwargs)
+def chain_time(fn, x0, n=10):
+    """Average ms/call over n chained calls (sync once at the end)."""
+    out = fn(x0)
     jax.block_until_ready(out)
     start = time.perf_counter()
+    x = x0
     for _ in range(n):
-        out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - start) / n
+        x = fn(x)
+    jax.block_until_ready(x)
+    return (time.perf_counter() - start) / n * 1e3
 
 
 def main():
@@ -37,76 +39,75 @@ def main():
     args = parser.parse_args()
 
     jax.config.update("jax_default_matmul_precision", "highest")
-    from deephall_tpu import optimizers, parallel
+    from deephall_tpu import optimizers
     from deephall_tpu.config import Config
     from deephall_tpu.loss import LossMode, make_loss_fn
     from deephall_tpu.mcmc import make_mcmc_step
     from deephall_tpu.networks import make_network
-    from deephall_tpu.train import init_guess
+    from deephall_tpu.train import init_guess, make_iteration_block
     from deephall_tpu.types import CheckpointState
-    from deephall_tpu.utils import pack_complex
+    from deephall_tpu.utils import enable_compilation_cache, pack_complex
 
+    enable_compilation_cache()
     cfg = Config()
     cfg.system.nspins = (args.nelec, 0)
     cfg.system.flux = args.flux
     cfg.batch_size = args.batch
 
-    mesh = parallel.get_mesh()
-    data_sharding = NamedSharding(mesh, P(parallel.DATA_AXIS))
-    rep = NamedSharding(mesh, P())
     model = make_network(cfg.system, cfg.network)
     sample = jnp.zeros((args.nelec, 2))
-    params = jax.device_put(jax.jit(model.init)(jax.random.PRNGKey(0), sample), rep)
-    data = jax.device_put(
-        init_guess(jax.random.PRNGKey(1), cfg.batch_size, args.nelec), data_sharding
-    )
-    width = jax.device_put(jnp.asarray(0.1), rep)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+    data = init_guess(jax.random.PRNGKey(1), cfg.batch_size, args.nelec)
     key = jax.random.PRNGKey(2)
 
     batch_network = jax.vmap(model.apply, in_axes=(None, 0))
 
-    # 1. single batched forward
-    fwd = jax.jit(lambda p, d: batch_network(p, d).real)
-    t_fwd = timeit(fwd, params, data)
-    print(f"forward (batch {args.batch}):            {t_fwd*1e3:9.2f} ms")
+    fwd = jax.jit(lambda d: d + 1e-9 * batch_network(params, d).real.sum())
+    print(f"forward (batch {args.batch}):        {chain_time(fwd, data):9.2f} ms")
 
-    # 2. full MCMC step (10 moves)
-    mcmc_step = jax.jit(make_mcmc_step(batch_network, steps=cfg.mcmc.steps))
-    t_mcmc = timeit(mcmc_step, params, data, key, width)
-    print(f"mcmc step (10 moves):                    {t_mcmc*1e3:9.2f} ms")
+    mcmc_step_fn = make_mcmc_step(batch_network, steps=cfg.mcmc.steps)
+    mc = jax.jit(lambda d: mcmc_step_fn(params, d, key, jnp.asarray(0.1))[0])
+    print(f"mcmc sweep ({cfg.mcmc.steps} moves):            {chain_time(mc, data):9.2f} ms")
 
-    # 3. local energy only (the Laplacian pipeline)
-    diff_loss = jax.jit(
-        lambda p, d: pack_complex(
-            make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_DIFF)(p, d)[0]
-        )
+    diff_loss = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_DIFF)
+    el = jax.jit(lambda d: d + 1e-9 * diff_loss(params, d)[0]["energy"].real)
+    print(f"local energy (hessian):          {chain_time(el, data):9.2f} ms")
+
+    grad_loss = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_GRAD)
+    gl = jax.jit(
+        lambda d: d + 1e-9 * jax.tree.leaves(grad_loss(params, d)[1])[0].sum()
     )
-    t_el = timeit(diff_loss, params, data)
-    print(f"local energy (hessian pipeline):         {t_el*1e3:9.2f} ms")
+    print(f"loss + energy gradient:          {chain_time(gl, data):9.2f} ms")
 
-    # 4. loss + energy gradient (adds one weighted VJP)
-    grad_loss = jax.jit(
-        lambda p, d: pack_complex(
-            make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_GRAD)(p, d)[1]
-        )
-    )
-    t_grad = timeit(grad_loss, params, data)
-    print(f"loss + energy gradient:                  {t_grad*1e3:9.2f} ms")
-
-    # 5. full KFAC training step
     opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample)
     opt_state = jax.jit(opt_init)(params, key, data)
-    state = CheckpointState(params, data, opt_state, width)
+    state = CheckpointState(params, data, opt_state, jnp.asarray(0.1))
 
-    def step_packed(state, key):
-        new_state, stats = training_step(state, key)
-        return new_state, pack_complex(stats)
+    def step_packed(s, k):
+        ns, stats = training_step(s, k)
+        return ns, pack_complex(stats)
 
     jstep = jax.jit(step_packed)
-    t_step = timeit(jstep, state, key)
-    print(f"full KFAC training step:                 {t_step*1e3:9.2f} ms")
-    print(f"=> iteration (mcmc + step):              {(t_mcmc+t_step)*1e3:9.2f} ms "
-          f"({1/(t_mcmc+t_step):.3f} it/s)")
+    s, out = jstep(state, key)
+    jax.block_until_ready(out)
+    start = time.perf_counter()
+    for i in range(5):
+        s, out = jstep(s, jax.random.fold_in(key, i))
+    jax.block_until_ready(out)
+    t_step = (time.perf_counter() - start) / 5 * 1e3
+    print(f"full KFAC training step:         {t_step:9.2f} ms")
+
+    block = make_iteration_block(cfg, mcmc_step_fn, training_step)
+    pm = jnp.zeros(cfg.mcmc.adapt_frequency)
+    t = jnp.zeros((), jnp.int32)
+    st, k2, pm, t, outs = block(state, key, pm, t, 10)
+    st, k2, pm, t, outs = block(st, k2, pm, t, 10)
+    jax.block_until_ready(outs)
+    start = time.perf_counter()
+    st, k2, pm, t, outs = block(st, k2, pm, t, 10)
+    jax.block_until_ready(outs)
+    t_iter = (time.perf_counter() - start) / 10 * 1e3
+    print(f"fused iteration (block of 10):   {t_iter:9.2f} ms  ({1e3/t_iter:.2f} it/s)")
 
 
 if __name__ == "__main__":
