@@ -78,3 +78,27 @@ def test_energy_decreases_over_steps():
         energies.append(float(stats["energy"].real))
     # Fixed walkers, pure optimization: energy must trend down toward 1.5.
     assert energies[-1] < energies[0]
+
+
+def test_kfac_two_spin_sectors():
+    """KFAC discovery and stepping with both spin sectors (4 orbital denses)."""
+    cfg = Config()
+    cfg.system.nspins = (2, 1)
+    cfg.system.flux = 4
+    cfg.network.psiformer.num_layers = 1
+    cfg.network.psiformer.num_heads = 1
+    cfg.network.psiformer.heads_dim = 4
+    model = make_network(cfg.system, cfg.network)
+    sample = jnp.zeros((3, 2))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+    data = init_guess(jax.random.PRNGKey(1), 16, 3)
+    loss_fn = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_GRAD)
+    init, step = make_kfac_training_step(cfg.optim.kfac, loss_fn, model, sample)
+    opt_state = init(params, jax.random.PRNGKey(2), data)
+    orbital_kron = [p for p in opt_state.kron if "featured_orbitals" in p]
+    assert len(orbital_kron) == 4  # real+imag denses per spin sector
+    state = CheckpointState(params, data, opt_state, jnp.asarray(0.1))
+    new_state, stats = jax.jit(step)(state, jax.random.PRNGKey(3))
+    assert jnp.isfinite(stats["energy"].real)
+    for leaf in jax.tree.leaves(new_state.params):
+        assert jnp.all(jnp.isfinite(leaf))
