@@ -62,9 +62,7 @@ def main() -> None:
     )
     width = jax.device_put(jnp.asarray(cfg.mcmc.width), rep_sharding)
 
-    mcmc_step_fn = make_mcmc_step(
-        jax.vmap(model.apply, in_axes=(None, 0)), steps=cfg.mcmc.steps
-    )
+    mcmc_step_fn = make_mcmc_step(model.apply, steps=cfg.mcmc.steps)
     opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample)
     opt_state = jax.jit(opt_init)(params, jax.random.PRNGKey(2), data)
 

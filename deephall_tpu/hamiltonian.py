@@ -4,14 +4,20 @@ Physics parity with the reference Hamiltonian (``/root/reference/deephall/hamilt
 kinetic energy with monopole magnetic terms, Coulomb or "harmonic" (Haldane
 pseudopotential) interaction, and the Lz / Lz^2 / L^2 angular-momentum observables.
 
-TPU-first redesign of the derivative pipeline: the reference evaluates four separate
-autodiff sweeps per walker (two ``jax.grad`` and two ``jax.hessian`` calls over the real
-and imaginary parts, ``hamiltonian.py:105-114``).  Here the complex gradient is a single
-``jacrev`` over a stacked ``[Re, Im]`` output and the complex Hessian a single
-forward-over-reverse ``jacfwd`` over that gradient — one linearization shared by all 2N
-tangent columns, with the gradient recovered from the same pass via ``has_aux``.  Under
-``vmap`` the tangent axis batches with the walker axis, so every pass is a large matmul
-on the MXU.
+TPU-first redesign of the derivative pipeline.  The reference evaluates four separate
+autodiff sweeps per walker (two ``jax.grad`` and two ``jax.hessian`` calls over the
+real and imaginary parts, ``hamiltonian.py:105-114``) under an outer ``vmap``.  Here:
+
+* the complex gradient is one ``jacrev`` over a stacked ``[Re, Im]`` output and the
+  complex Hessian one forward-over-reverse sweep over that gradient — a single
+  linearization shared by all 2N tangent columns;
+
+* the **batched path** (:func:`batched_local_energy`, used by the loss) runs the
+  whole pipeline on the full ``[batch, nelec, 2]`` walker array with *broadcast*
+  tangent directions: because walkers are independent, pushing ``e_k`` simultaneously
+  through every walker's gradient yields each walker's Hessian column, so the network
+  is evaluated natively batched (full layout control, no vmap lifting) and only
+  2N tangent passes are needed regardless of batch size.
 """
 
 from __future__ import annotations
@@ -47,8 +53,11 @@ def coulomb_potential(cos12: jnp.ndarray, Q: float, r: jnp.ndarray) -> jnp.ndarr
         (reference ``hamiltonian.py:27-41``).
     """
     del Q
-    r_ee = jnp.sqrt(2 - 2 * cos12)
-    return jnp.sum(jnp.triu(1 / r_ee, k=1)) / r
+    nelec = cos12.shape[-1]
+    mask = jnp.triu(jnp.ones((nelec, nelec)), k=1)
+    # The +eye keeps the (masked-out) diagonal finite so no NaN leaks through 0 * inf.
+    r_ee = jnp.sqrt(jnp.maximum(2 - 2 * cos12, 0)) + jnp.eye(nelec)
+    return jnp.sum(mask / r_ee, axis=(-2, -1)) / r
 
 
 def harmonic_potential(cos12: jnp.ndarray, Q: float) -> jnp.ndarray:
@@ -64,13 +73,18 @@ def harmonic_potential(cos12: jnp.ndarray, Q: float) -> jnp.ndarray:
     Returns:
         Total pair energy.
     """
-    return jnp.sum(jnp.triu(1 + (Q + 1) / Q * cos12, k=1))
+    nelec = cos12.shape[-1]
+    mask = jnp.triu(jnp.ones((nelec, nelec)), k=1)
+    return jnp.sum(mask * (1 + (Q + 1) / Q * cos12), axis=(-2, -1))
 
 
 def make_potential(
     interaction_type: InteractionType, Q: float, r: jnp.ndarray
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Create the potential-energy function for the given interaction and geometry."""
+    """Create the potential-energy function for the given interaction and geometry.
+
+    The returned function accepts any number of leading batch axes.
+    """
     if interaction_type == InteractionType.coulomb:
         pair_fn = partial(coulomb_potential, Q=Q, r=r)
     elif interaction_type == InteractionType.harmonic:
@@ -84,12 +98,77 @@ def make_potential(
     return potential
 
 
-def make_local_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
-    r"""Create the local kinetic-energy function ``-\nabla^2 \psi / 2\psi`` on the sphere.
+def _assemble_observables(
+    theta: jnp.ndarray,
+    phi: jnp.ndarray,
+    grad: jnp.ndarray,
+    hess: jnp.ndarray,
+    Q: float,
+    r: jnp.ndarray,
+) -> tuple[jnp.ndarray, AngularMomenta]:
+    """Kinetic energy and angular momenta from the complex gradient and Hessian.
 
-    Includes the monopole magnetic contribution (Jain, "Composite Fermions" §3.10.3) and
-    the angular-momentum observables Lz, Lz^2 and L^2, matching the reference operator
-    (``hamiltonian.py:83-172``) to numerical precision.
+    Args:
+        theta, phi: ``[nelec]`` coordinates of one walker.
+        grad: complex ``[nelec, 2]`` gradient of log psi.
+        hess: complex ``[nelec, 2, nelec, 2]`` Hessian of log psi.
+        Q: Monopole strength.
+        r: Sphere radius.
+
+    Returns:
+        ``(kinetic_energy, AngularMomenta)`` — same operator algebra as the reference
+        (``hamiltonian.py:96-170``).
+    """
+    g_theta, g_phi = grad[..., 0], grad[..., 1]
+    sin_t = sin(theta)
+    tan_t = tan(theta)
+    h_tt = hess[:, 0, :, 0]
+    h_tp = hess[:, 0, :, 1]
+    h_pp = hess[:, 1, :, 1]
+
+    # --- Kinetic energy -----------------------------------------------------------
+    square_grad_logpsi = jnp.sum(g_theta**2 + g_phi**2 / sin_t**2)
+    grad_grad_logpsi = jnp.sum(
+        g_theta / tan_t + jnp.diagonal(h_tt) + jnp.diagonal(h_pp) / sin_t**2
+    )
+    magnetic_contribution = jnp.sum(
+        (Q / tan_t) ** 2 + 2j * Q * cos(theta) / sin_t**2 * g_phi
+    )
+    kinetic_energy = (
+        -grad_grad_logpsi - square_grad_logpsi + magnetic_contribution
+    ) / 2 / r**2
+
+    # --- Angular momentum square L^2 ----------------------------------------------
+    col = (Ellipsis, slice(None), jnp.newaxis)  # [..., :, None]
+    row = (Ellipsis, jnp.newaxis, slice(None))  # [..., None, :]
+    r_hat = jnp.stack([sin_t * cos(phi), sin_t * sin(phi), cos(theta)])
+    phi_hat = jnp.stack([-sin(phi), cos(phi), jnp.zeros_like(phi)])
+    theta_hat_prime = jnp.stack(
+        [cos(phi) / tan_t, sin(phi) / tan_t, -jnp.ones_like(theta)]
+    )
+    psi_tt = h_tt + g_theta[col] * g_theta[row]
+    psi_tp = h_tp + g_theta[col] * g_phi[row]
+    psi_pp = h_pp + g_phi[col] * g_phi[row]
+    magnetic_term = Q * (theta_hat_prime * cos(theta) + r_hat)
+    angular_momentum_square = jnp.sum(
+        2 * phi_hat[col] * theta_hat_prime[row] * psi_tp
+        - phi_hat[col] * phi_hat[row] * psi_tt
+        - theta_hat_prime[col] * theta_hat_prime[row] * psi_pp
+        - (2j * magnetic_term[row])
+        * (phi_hat[col] * g_theta[col] - theta_hat_prime[col] * g_phi[col])
+        + magnetic_term[col] * magnetic_term[row]
+    ) - jnp.sum(g_theta / tan_t)  # diagonal correction for non-commuting terms
+
+    other_observables = AngularMomenta(
+        angular_momentum_z=jnp.sum(g_phi).imag,
+        angular_momentum_z_square=-jnp.sum(psi_pp).real,
+        angular_momentum_square=angular_momentum_square.real,
+    )
+    return kinetic_energy, other_observables
+
+
+def make_local_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
+    r"""Create the per-walker local kinetic-energy function.
 
     Args:
         f: Complex log-wavefunction ``f(params, data)`` for one configuration.
@@ -97,17 +176,13 @@ def make_local_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
         r: Sphere radius.
 
     Returns:
-        Function ``(params, data) -> (kinetic_energy, AngularMomenta)``.
+        Function ``(params, data[nelec, 2]) -> (kinetic_energy, AngularMomenta)``.
     """
 
     def _lapl_over_f(
         params: ArrayTree, data: jnp.ndarray
     ) -> tuple[jnp.ndarray, AngularMomenta]:
-        theta, phi = data[..., 0], data[..., 1]
-
         def stacked_grad(x):
-            """Gradient of [Re logpsi, Im logpsi] w.r.t. coordinates: [2, N, 2]."""
-
             def re_im(y):
                 out = f(params, y)
                 return jnp.stack([out.real, out.imag])
@@ -115,82 +190,90 @@ def make_local_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
             g = jax.jacrev(re_im)(x)
             return g, g
 
-        # One forward-over-reverse sweep: complex Hessian + gradient together.
         hess_ri, grad_ri = jax.jacfwd(stacked_grad, has_aux=True)(data)
         grad = grad_ri[0] + 1j * grad_ri[1]  # [N, 2]
         hess = hess_ri[0] + 1j * hess_ri[1]  # [N, 2, N, 2]
+        return _assemble_observables(data[..., 0], data[..., 1], grad, hess, Q, r)
 
-        g_theta, g_phi = grad[..., 0], grad[..., 1]
-        sin_t = sin(theta)
-        tan_t = tan(theta)
-        h_tt = hess[:, 0, :, 0]
-        h_tp = hess[:, 0, :, 1]
-        h_pp = hess[:, 1, :, 1]
+    return _lapl_over_f
 
-        # --- Kinetic energy -------------------------------------------------------
-        # (\nabla log psi)^2 on the sphere (complex square, no conjugation).
-        square_grad_logpsi = jnp.sum(g_theta**2 + g_phi**2 / sin_t**2)
-        # \nabla^2 log psi on the sphere.
-        grad_grad_logpsi = jnp.sum(
-            g_theta / tan_t + jnp.diagonal(h_tt) + jnp.diagonal(h_pp) / sin_t**2
-        )
-        magnetic_contribution = jnp.sum(
-            (Q / tan_t) ** 2 + 2j * Q * cos(theta) / sin_t**2 * g_phi
-        )
-        sum_kinetic_momentum_square = (
-            -grad_grad_logpsi - square_grad_logpsi + magnetic_contribution
-        )
-        kinetic_energy = sum_kinetic_momentum_square / 2 / r**2
 
-        # --- Angular momentum square L^2 -----------------------------------------
-        # Same operator algebra as the reference (hamiltonian.py:139-159): assemble
-        # second derivatives of psi (not log psi) via H + g g^T outer products,
-        # contract with the spherical frame vectors, then correct the diagonal.
-        col = (Ellipsis, slice(None), jnp.newaxis)  # [..., :, None]
-        row = (Ellipsis, jnp.newaxis, slice(None))  # [..., None, :]
-        r_hat = jnp.stack([sin_t * cos(phi), sin_t * sin(phi), cos(theta)])
-        phi_hat = jnp.stack([-sin(phi), cos(phi), jnp.zeros_like(phi)])
-        # theta_hat / sin(theta), folded together for stability.
-        theta_hat_prime = jnp.stack(
-            [cos(phi) / tan_t, sin(phi) / tan_t, -jnp.ones_like(theta)]
-        )
-        psi_tt = h_tt + g_theta[col] * g_theta[row]
-        psi_tp = h_tp + g_theta[col] * g_phi[row]
-        psi_pp = h_pp + g_phi[col] * g_phi[row]
-        magnetic_term = Q * (theta_hat_prime * cos(theta) + r_hat)
-        angular_momentum_square = jnp.sum(
-            2 * phi_hat[col] * theta_hat_prime[row] * psi_tp
-            - phi_hat[col] * phi_hat[row] * psi_tt
-            - theta_hat_prime[col] * theta_hat_prime[row] * psi_pp
-            - (2j * magnetic_term[row])
-            * (phi_hat[col] * g_theta[col] - theta_hat_prime[col] * g_phi[col])
-            + magnetic_term[col] * magnetic_term[row]
-        ) - jnp.sum(g_theta / tan_t)  # diagonal correction for non-commuting terms
+def make_batched_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
+    """Create the batched local kinetic-energy function.
 
-        other_observables = AngularMomenta(
-            angular_momentum_z=jnp.sum(g_phi).imag,  # (-i d_phi) expectation
-            angular_momentum_z_square=-jnp.sum(psi_pp).real,
-            angular_momentum_square=angular_momentum_square.real,
-        )
-        return kinetic_energy, other_observables
+    ``f`` must accept batched configurations ``[batch, nelec, 2]`` and return
+    ``[batch]`` complex log-psi values (the natively-batched network path).  Walker
+    independence turns broadcast tangents into per-walker Hessian columns, so the
+    full complex Hessian of every walker costs one linearization plus 2N tangent
+    passes of the *batched* network — no vmap lifting anywhere.
+
+    Returns:
+        Function ``(params, data[B, nelec, 2]) -> (ke [B], AngularMomenta [B])``.
+    """
+    def _lapl_over_f(params: ArrayTree, data: jnp.ndarray):
+        nelec = data.shape[-2]
+        basis = jnp.eye(2 * nelec).reshape(2 * nelec, nelec, 2)
+        def grad_fn(x):
+            def re_im(y):
+                out = f(params, y)  # [B] complex
+                return jnp.stack([jnp.sum(out.real), jnp.sum(out.imag)])
+
+            return jax.jacrev(re_im)(x)  # [2, B, N, 2] (per-walker by independence)
+
+        grad_ri, jvp_fn = jax.linearize(grad_fn, data)
+        cols = jax.vmap(
+            lambda e: jvp_fn(jnp.broadcast_to(e, data.shape))
+        )(basis)  # [2N, 2, B, N, 2]
+
+        grad = grad_ri[0] + 1j * grad_ri[1]  # [B, N, 2]
+        hess_ri = jnp.moveaxis(cols, 0, -1)  # [2, B, N, 2, 2N]
+        hess_c = hess_ri[0] + 1j * hess_ri[1]  # [B, N, 2, 2N]
+        hess = hess_c.reshape(*hess_c.shape[:-1], nelec, 2)  # [B, N, 2, N, 2]
+
+        theta, phi = data[..., 0], data[..., 1]
+        return jax.vmap(
+            lambda t, p, g, h: _assemble_observables(t, p, g, h, Q, r)
+        )(theta, phi, grad, hess)
 
     return _lapl_over_f
 
 
 def local_energy(f: LogPsiNetwork, system: System) -> LocalEnergy:
-    """Create the local-energy function for one walker.
+    """Create the per-walker local-energy function (reference ``hamiltonian.py:175-212``).
 
     Args:
         f: Complex log-wavefunction ``f(params, data)``.
         system: System configuration (flux, radius, interaction).
 
     Returns:
-        Function ``(params, data) -> (E_L, OtherObservables)``
-        (reference ``hamiltonian.py:175-212``).
+        Function ``(params, data) -> (E_L, OtherObservables)``.
     """
     Q = system.flux / 2
     radius = jnp.asarray(system.radius if system.radius is not None else jnp.sqrt(Q))
     ke = make_local_kinetic_energy(f, Q, radius)
+    pe = make_potential(system.interaction_type, Q, radius)
+
+    def _e_l(
+        params: ArrayTree, data: jnp.ndarray
+    ) -> tuple[jnp.ndarray, OtherObservables]:
+        potential = pe(data) * system.interaction_strength
+        kinetic, angular_momenta = ke(params, data)
+        return kinetic + potential, angular_momenta | {
+            "potential": potential,
+            "kinetic": kinetic,
+        }
+
+    return _e_l
+
+
+def batched_local_energy(f: LogPsiNetwork, system: System) -> LocalEnergy:
+    """Create the batched local-energy function over ``[batch, nelec, 2]`` walkers.
+
+    ``f`` must be the natively-batched log-psi (``model.apply`` on batched data).
+    """
+    Q = system.flux / 2
+    radius = jnp.asarray(system.radius if system.radius is not None else jnp.sqrt(Q))
+    ke = make_batched_kinetic_energy(f, Q, radius)
     pe = make_potential(system.interaction_type, Q, radius)
 
     def _e_l(

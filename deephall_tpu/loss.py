@@ -25,7 +25,7 @@ import jax
 from jax import numpy as jnp
 
 from deephall_tpu.config import System
-from deephall_tpu.hamiltonian import local_energy
+from deephall_tpu.hamiltonian import batched_local_energy
 from deephall_tpu.types import ArrayTree, LogPsiNetwork, LossStats
 
 
@@ -56,8 +56,7 @@ def make_loss_fn(
     by the inference optimizer and the initial-energy probe); ``SR_F_VECTOR`` returns
     the complex tangent for stochastic reconfiguration.
     """
-    el_fn = local_energy(network, system)
-    batch_local_energy = jax.vmap(el_fn, in_axes=(None, 0))
+    batch_local_energy = batched_local_energy(network, system)
 
     def loss_and_grad(params: ArrayTree, data: jnp.ndarray):
         el, other_observables = batch_local_energy(params, data)
@@ -94,7 +93,7 @@ def make_loss_fn(
         )
 
         def weighted_real(p):
-            logpsi = jax.vmap(lambda x: network(p, x))(data)
+            logpsi = network(p, data)  # natively batched
             # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
             return jnp.sum(logpsi.real * w.real + logpsi.imag * w.imag)
 
@@ -104,7 +103,7 @@ def make_loss_fn(
 
         # SR_F_VECTOR: the complex tangent, from one more weighted VJP.
         def weighted_imag(p):
-            logpsi = jax.vmap(lambda x: network(p, x))(data)
+            logpsi = network(p, data)
             # Im[conj(grad logpsi) w] = grad(Re psi) . Im w - grad(Im psi) . Re w
             return jnp.sum(logpsi.real * w.imag - logpsi.imag * w.real)
 

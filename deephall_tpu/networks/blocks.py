@@ -36,8 +36,9 @@ KFAC_TAPS = "kfac_taps"  # additive output taps, folded to [repeats, fan_out]
 
 default_kernel_init = nn.initializers.lecun_normal()
 
-# Attention contraction lowering: "vpu" (broadcast-multiply-reduce) or "einsum"
-# (MXU batched gemms).  Overridable for benchmarking via DEEPHALL_ATTENTION_IMPL.
+# Attention contraction lowering: "vpu" (broadcast-multiply-reduce), "einsum"
+# (MXU batched gemms), "bm" (batch-minor lanes layout; batched inputs only), or
+# "auto".  Overridable for benchmarking via DEEPHALL_ATTENTION_IMPL.
 ATTENTION_IMPL = os.environ.get("DEEPHALL_ATTENTION_IMPL", "vpu")
 
 
@@ -166,6 +167,26 @@ class MultiHeadAttention(nn.Module):
         value = DenseGeneral((self.num_heads, head_dim), name="value")(x)
 
         query = query / jnp.sqrt(head_dim).astype(x.dtype)
+        if x.ndim >= 3 and ATTENTION_IMPL in ("bm", "auto"):
+            # Natively-batched fast path with the walker batch in the minor (lane)
+            # dimension.  TPU maps the last axis to the 128-wide vector lanes; with
+            # T=S~6 electron tokens and H~4 heads, any [.., T, S, H] layout uses <5%
+            # of the lanes, while [T, S, H, B] with B in the thousands uses them
+            # fully.  The transposes move ~MBs and are far cheaper than the wasted
+            # lanes, especially through the Hessian's linearized passes.
+            b_shape = x.shape[:-2]
+            qt = jnp.moveaxis(query.reshape(-1, *query.shape[-3:]), 0, -1)
+            kt = jnp.moveaxis(key.reshape(-1, *key.shape[-3:]), 0, -1)
+            vt = jnp.moveaxis(value.reshape(-1, *value.shape[-3:]), 0, -1)
+            # [T, H, d, B] x [S, H, d, B] -> [T, S, H, B]
+            logits = jnp.sum(qt[:, None] * kt[None], axis=-2)
+            weights = jax.nn.softmax(logits, axis=1)
+            # [T, S, H, B] x [S, H, d, B] -> [T, H, d, B]
+            attn = jnp.sum(weights[..., None, :] * vt[None], axis=1)
+            attn = jnp.moveaxis(attn, -1, 0).reshape(
+                *b_shape, *attn.shape[:-1]
+            )
+            return DenseGeneral(features, axis=(-2, -1), name="out")(attn)
         if ATTENTION_IMPL == "vpu":
             # TPU note: with only a handful of electron tokens, per-head [T, d] x
             # [d, S] batched gemms waste the 128x128 MXU (<1% utilisation).
@@ -201,10 +222,10 @@ class FeaturedOrbitals(nn.Module):
         orbital_list = [
             DenseGeneral(tuple(self.features))(h_alpha)
             + 1j * DenseGeneral(tuple(self.features))(h_alpha)
-            for h_alpha in jnp.split(h_one, (self.nspins[0],))
-            if len(h_alpha)
+            for h_alpha in jnp.split(h_one, (self.nspins[0],), axis=-2)
+            if h_alpha.shape[-2]
         ]
-        return jnp.concatenate(orbital_list)
+        return jnp.concatenate(orbital_list, axis=-4)
 
 
 class Orbitals(nn.Module):
@@ -235,20 +256,24 @@ class Orbitals(nn.Module):
                 nspins=self.nspins,
                 features=(8, sum(self.nspins), self.ndets),
             )
-            self.lll_weight = DenseGeneral(n_orb, axis=1)
+            self.lll_weight = DenseGeneral(n_orb, axis=-3)  # contract the 8 features
 
     def __call__(self, h_one, theta, phi):
-        orbitals = self.featured_orbitals(h_one)  # [N, F, nelec, ndet] complex
+        orbitals = self.featured_orbitals(h_one)  # [..., N, F, nelec, ndet] complex
         if self.type == OrbitalType.sparse:
-            # Lift 8 features to 2Q+1 envelope channels: [N, nelec, ndet, 2Q+1]
-            orbitals = self.lll_weight(orbitals).transpose((0, 3, 1, 2))
+            # Lift 8 features to 2Q+1 envelope channels; feature axis back to -3.
+            orbitals = jnp.moveaxis(self.lll_weight(orbitals), -1, -3)
 
         m = jnp.arange(-self.Q, self.Q + 1)
         u, v = spinors(theta, phi)
         u, v = u[..., None], v[..., None]
-        envelope = self.norm_factor * u ** (self.Q + m) * v ** (self.Q - m)  # [N, 2Q+1]
-        orbitals = jnp.sum(orbitals * envelope[..., None, None], axis=1)  # [N, nelec, ndet]
-        return jnp.moveaxis(orbitals, -1, 0)  # [ndet, N, nelec]
+        envelope = (
+            self.norm_factor * u ** (self.Q + m) * v ** (self.Q - m)
+        )  # [..., N, 2Q+1]
+        orbitals = jnp.sum(
+            orbitals * envelope[..., None, None], axis=-3
+        )  # [..., N, nelec, ndet]
+        return jnp.moveaxis(orbitals, -1, -3)  # [..., ndet, N, nelec]
 
 
 class Jastrow(nn.Module):
@@ -261,33 +286,34 @@ class Jastrow(nn.Module):
 
     @nn.compact
     def __call__(self, electrons: jnp.ndarray) -> jnp.ndarray:
-        nspins = self.nspins
-        r_ee = chord_distances(electrons)
-        blocks = [
-            jnp.split(r, nspins[0:1], axis=1)
-            for r in jnp.split(r_ee, nspins[0:1], axis=0)
-        ]
-        r_ees_parallel = jnp.concatenate(
+        n_up, n_down = self.nspins
+        r_ee = chord_distances(electrons)  # [..., N, N]
+
+        iu_up = jnp.triu_indices(n_up, k=1)
+        iu_down = jnp.triu_indices(n_down, k=1)
+        r_parallel = jnp.concatenate(
             [
-                blocks[0][0][jnp.triu_indices(nspins[0], k=1)],
-                blocks[1][1][jnp.triu_indices(nspins[1], k=1)],
-            ]
+                r_ee[..., :n_up, :n_up][..., iu_up[0], iu_up[1]],
+                r_ee[..., n_up:, n_up:][..., iu_down[0], iu_down[1]],
+            ],
+            axis=-1,
         )
 
-        if r_ees_parallel.shape[0] > 0:
+        if r_parallel.shape[-1] > 0:
             alpha_par = self.param("ee_par", nn.initializers.ones, (1,))
             jastrow_ee_par = jnp.sum(
-                -(0.25 * alpha_par**2) / (alpha_par + r_ees_parallel)
+                -(0.25 * alpha_par**2) / (alpha_par + r_parallel), axis=(-1,)
             )
         else:
-            jastrow_ee_par = jnp.asarray(0.0)
+            jastrow_ee_par = jnp.zeros(r_ee.shape[:-2])
 
-        if blocks[0][1].shape[0] > 0 and blocks[0][1].shape[1] > 0:
+        if n_up > 0 and n_down > 0:
             alpha_anti = self.param("ee_anti", nn.initializers.ones, (1,))
+            r_anti = r_ee[..., :n_up, n_up:]
             jastrow_ee_anti = jnp.sum(
-                -(0.5 * alpha_anti**2) / (alpha_anti + blocks[0][1])
+                -(0.5 * alpha_anti**2) / (alpha_anti + r_anti), axis=(-2, -1)
             )
         else:
-            jastrow_ee_anti = jnp.asarray(0.0)
+            jastrow_ee_anti = jnp.zeros(r_ee.shape[:-2])
 
         return jastrow_ee_anti + jastrow_ee_par

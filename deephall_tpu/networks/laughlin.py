@@ -53,7 +53,8 @@ class Laughlin(nn.Module):
         assert int(diff) == diff, f"Impossible Lz={self.excitation_lz} for excitation"
 
     def __call__(self, electrons):
-        return signed_logsumdet(self.orbitals(electrons))
+        # Add the determinant-expansion axis expected by signed_logsumdet.
+        return signed_logsumdet(self.orbitals(electrons)[..., None, :, :])
 
     def orbitals(self, electrons):
         theta, phi = electrons[..., 0], electrons[..., 1]
@@ -62,7 +63,9 @@ class Laughlin(nn.Module):
 
     def _pair_jastrow(self, u, v):
         """prod_j (u_i v_j - u_j v_i) with the diagonal masked to 1."""
-        element = u * v[:, 0] - u[:, 0] * v + jnp.eye(u.shape[0])
+        u_row = jnp.swapaxes(u, -1, -2)  # [..., 1, N]
+        v_row = jnp.swapaxes(v, -1, -2)
+        element = u * v_row - u_row * v + jnp.eye(u.shape[-2])
         return element, jnp.prod(element, axis=-1, keepdims=True)
 
     def full_orbitals(self, u, v):
@@ -89,9 +92,11 @@ class Laughlin(nn.Module):
         orbitals = u ** (Q + m) * v ** (Q - m)
 
         element, jastrow = self._pair_jastrow(u, v)
+        u_row = jnp.swapaxes(u, -1, -2)
+        v_row = jnp.swapaxes(v, -1, -2)
         # LLL projection: u* -> d/du, v* -> d/dv acting on the Jastrow product.
-        jastrow_dv = jastrow * (jnp.sum(-u[:, 0] / element, axis=-1, keepdims=True) + u)
-        jastrow_du = jastrow * (jnp.sum(v[:, 0] / element, axis=-1, keepdims=True) - v)
+        jastrow_dv = jastrow * (jnp.sum(-u_row / element, axis=-1, keepdims=True) + u)
+        jastrow_du = jastrow * (jnp.sum(v_row / element, axis=-1, keepdims=True) - v)
 
         m1 = self.excitation_lz
         excited = (u ** (Q + m1) * v ** (Q - m1)) * (

@@ -54,7 +54,7 @@ class PsiformerLayers(nn.Module):
                 jnp.cos(theta),
                 jnp.sin(theta) * jnp.cos(phi),
                 jnp.sin(theta) * jnp.sin(phi),
-                spins,
+                jnp.broadcast_to(spins, theta.shape),
             ],
             axis=-1,
         )
@@ -84,5 +84,5 @@ class Psiformer(nn.Module):
         orbitals = Orbitals(
             type=self.orbital_type, Q=self.Q, nspins=self.nspins, ndets=self.ndets
         )(h_one, theta, phi)
-        jastrow = Jastrow(self.nspins)(electrons)
-        return jnp.exp(jastrow / sum(self.nspins)) * orbitals
+        jastrow = Jastrow(self.nspins)(electrons)  # [...] (scalar per config)
+        return jnp.exp(jastrow / sum(self.nspins))[..., None, None, None] * orbitals

@@ -170,8 +170,8 @@ def make_overlap(cfg: Config, network) -> Estimator:
 
     def evaluate(params, key, data, state):
         del key
-        logpsi = jax.vmap(lambda x: network(params, x))(data)
-        logphi = jax.vmap(lambda x: laughlin.apply({}, x))(data)
+        logpsi = network(params, data)
+        logphi = laughlin.apply({}, data)
         shift = jnp.mean((logphi - logpsi).real)
         ratio = jnp.exp(logphi - logpsi - shift)
         return {

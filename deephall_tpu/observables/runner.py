@@ -70,10 +70,9 @@ def evaluate_observable(
     data = jax.device_put(jnp.asarray(data), data_sharding)
     width = jax.device_put(jnp.asarray(mcmc_width), rep_sharding)
 
-    network = model.apply
-    batch_network = jax.vmap(network, in_axes=(None, 0))
+    network = model.apply  # natively batched
     mcmc_step = jax.jit(
-        make_mcmc_step(batch_network, steps=mcmc_steps or cfg.mcmc.steps),
+        make_mcmc_step(network, steps=mcmc_steps or cfg.mcmc.steps),
         donate_argnums=(1,),
     )
     est = ESTIMATORS[estimator_name](cfg, network, **(estimator_kwargs or {}))

@@ -224,13 +224,20 @@ def signed_logsumdet(orbitals: jnp.ndarray) -> jnp.ndarray:
     """Complex log of a (sum of) determinant(s).
 
     Args:
-        orbitals: ``[nelec, nelec]`` for a single determinant or
-            ``[ndet, nelec, nelec]`` for a determinant expansion.
+        orbitals: ``[..., ndet, nelec, nelec]`` — the axis before the matrix axes is
+            the determinant-expansion axis; any leading axes are batch axes.  A bare
+            ``[nelec, nelec]`` input is treated as a single determinant.
 
     Returns:
-        ``log sum_d det(orbitals_d)`` as a complex scalar, computed with the
+        ``log sum_d det(orbitals_d)`` per batch element (complex), computed with the
         log-sum-exp trick over determinants for stability.
     """
-    signs, logdets = slogdet(orbitals)
-    logmax = jnp.max(logdets)
-    return jnp.log(jnp.sum(signs * jnp.exp(logdets - logmax))) + logmax
+    if orbitals.ndim == 2:
+        orbitals = orbitals[None]
+    signs, logdets = slogdet(orbitals)  # [..., ndet]
+    logmax = jnp.max(logdets, axis=-1, keepdims=True)
+    out = (
+        jnp.log(jnp.sum(signs * jnp.exp(logdets - logmax), axis=-1))
+        + logmax[..., 0]
+    )
+    return out

@@ -126,51 +126,52 @@ def make_kfac_training_step(
         tap_shapes = {p: (t.shape, t.dtype) for p, t in taps.items()}
         return specs, tap_shapes, param_mods
 
-    def _capture(params: ArrayTree, data: jnp.ndarray, tap_shapes):
-        """One batched VJP: per-layer inputs (sown) and output sensitivities (taps)."""
-        taps0 = _unflatten_taps(tap_shapes, data.shape[0])
+    def _capture(params: ArrayTree, data: jnp.ndarray):
+        """One batched VJP: per-layer inputs (sown) and output sensitivities (taps).
+
+        The model runs natively batched, so tap/sow leaves are flat
+        ``[batch * repeats, fan]`` matrices.
+        """
+
+        def shape_fn(p, d):
+            _, aux = model.apply(dict(p), d, mutable=[KFAC_TAPS])
+            return aux[KFAC_TAPS]
+
+        taps_struct = jax.eval_shape(shape_fn, params, data)
+        taps0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), taps_struct)
 
         def f(taps):
-            def single(tap, x):
-                variables = dict(params)
-                variables[KFAC_TAPS] = tap
-                out, aux = model.apply(variables, x, mutable=[KFAC_IN])
-                return out, aux[KFAC_IN]
-
-            outs, sown = jax.vmap(single)(taps, data)
-            return jnp.sum(outs.real) * sqrt2, sown
+            variables = dict(params)
+            variables[KFAC_TAPS] = taps
+            out, aux = model.apply(variables, data, mutable=[KFAC_IN])
+            return jnp.sum(out.real) * sqrt2, aux[KFAC_IN]
 
         _, pullback, sown = jax.vjp(f, taps0, has_aux=True)
         (dy,) = pullback(jnp.ones(()))
         return _module_paths(sown), _module_paths(dy)
-
-    def _unflatten_taps(tap_shapes, batch):
-        flat = {
-            (*path, "tap"): jnp.zeros((batch, *shape), dtype)
-            for path, (shape, dtype) in tap_shapes.items()
-        }
-        return traverse_util.unflatten_dict(flat)
 
     # ----- curvature statistics ------------------------------------------------
 
     def _factor_update(specs, sown, dy):
         kron, diag = {}, {}
         for spec in specs:
-            a = sown[spec.path]
-            g = dy[spec.path]
+            a = sown[spec.path]  # [B*T, fan_in]
+            g = dy[spec.path]  # [B*T, fan_out]
             a = a.real if jnp.iscomplexobj(a) else a
             g = g.real if jnp.iscomplexobj(g) else g
-            bt = a.shape[0] * a.shape[1]
+            rows = a.shape[0]
             if spec.kind == "kron":
                 if spec.has_bias:
-                    a = jnp.concatenate([a, jnp.ones((*a.shape[:-1], 1), a.dtype)], -1)
+                    a = jnp.concatenate([a, jnp.ones((rows, 1), a.dtype)], -1)
                 kron[_path_key(spec.path)] = {
-                    "a": jnp.einsum("bti,btj->ij", a, a) / bt,
-                    "g": jnp.einsum("bti,btj->ij", g, g) / bt,
+                    "a": (a.T @ a) / rows,
+                    "g": (g.T @ g) / rows,
                 }
             else:  # diag (LayerNorm): exact per-walker squared gradients
-                g_scale = jnp.sum(g * a, axis=1)  # [B, f]
-                g_bias = jnp.sum(g, axis=1)
+                a3 = a.reshape(-1, spec.repeats, a.shape[-1])
+                g3 = g.reshape(-1, spec.repeats, g.shape[-1])
+                g_scale = jnp.sum(g3 * a3, axis=1)  # [B, f]
+                g_bias = jnp.sum(g3, axis=1)
                 diag[_path_key(spec.path)] = {
                     "scale": jnp.mean(g_scale**2, axis=0),
                     "bias": jnp.mean(g_bias**2, axis=0),
@@ -279,7 +280,7 @@ def make_kfac_training_step(
         specs, tap_shapes, _ = _discover(params)
 
         stats, grads = loss_grad_fn(params, data)
-        sown, dy = _capture(params, data, tap_shapes)
+        sown, dy = _capture(params, data)
         kron_new, diag_new = _factor_update(specs, sown, dy)
 
         kron = jax.tree.map(

@@ -117,3 +117,24 @@ def test_kfac_collections():
     # providing taps reproduces the forward too
     out2 = model.apply({**params, blocks.KFAC_TAPS: aux[blocks.KFAC_TAPS]}, data[0])
     assert jnp.allclose(out2, out_plain)
+
+
+def test_native_batching_matches_vmap():
+    """model.apply on a [B, N, 2] batch must equal vmap over single configs."""
+    system = System(flux=6, nspins=(3, 0))
+    data = _sample(jax.random.PRNGKey(5), 7, 3)
+    for net in (
+        Network(type=NetworkType.psiformer),
+        Network(type=NetworkType.psiformer, orbital=OrbitalType.sparse),
+        Network(type=NetworkType.laughlin),
+    ):
+        net.psiformer.num_heads = 2
+        net.psiformer.heads_dim = 4
+        net.psiformer.num_layers = 2
+        net.psiformer.determinants = 2
+        model = make_network(system, net)
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), data[0])
+        per_sample = jax.vmap(lambda x: model.apply(params, x))(data)
+        batched = model.apply(params, data)
+        assert batched.shape == per_sample.shape
+        assert jnp.allclose(batched, per_sample, atol=1e-5), net.type
