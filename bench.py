@@ -62,7 +62,9 @@ def main() -> None:
     )
     width = jax.device_put(jnp.asarray(cfg.mcmc.width), rep_sharding)
 
-    mcmc_step_fn = make_mcmc_step(model.apply, steps=cfg.mcmc.steps)
+    mcmc_step_fn = make_mcmc_step(
+        jax.vmap(model.apply, in_axes=(None, 0)), steps=cfg.mcmc.steps
+    )
     opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample)
     opt_state = jax.jit(opt_init)(params, jax.random.PRNGKey(2), data)
 
@@ -82,7 +84,9 @@ def main() -> None:
     start = time.perf_counter()
     for _ in range(MEASURE_BLOCKS):
         state, key, pmoves, t, outs = block(state, key, pmoves, t, BLOCK)
-    jax.block_until_ready(outs)
+    # Force a genuine device sync: read a value that depends on every iteration
+    # (block_until_ready alone can return early on tunnelled runtimes).
+    float(jax.device_get(outs[0]["energy"].real[-1]))
     elapsed = time.perf_counter() - start
 
     stats, _ = outs

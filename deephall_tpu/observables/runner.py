@@ -72,7 +72,9 @@ def evaluate_observable(
 
     network = model.apply  # natively batched
     mcmc_step = jax.jit(
-        make_mcmc_step(network, steps=mcmc_steps or cfg.mcmc.steps),
+        make_mcmc_step(
+            jax.vmap(network, in_axes=(None, 0)), steps=mcmc_steps or cfg.mcmc.steps
+        ),
         donate_argnums=(1,),
     )
     est = ESTIMATORS[estimator_name](cfg, network, **(estimator_kwargs or {}))
