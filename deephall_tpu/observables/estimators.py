@@ -77,8 +77,11 @@ def make_pair_corr(cfg: Config, network, bins: int = 200) -> Estimator:
         batch_size = data.shape[0]
         cos12 = pairwise_cos(data)
         theta12 = jnp.arccos(jnp.clip(cos12[:, iu[0], iu[1]], -1, 1)).reshape(-1)
+        # Floor the 1/sin weight: exactly (anti)parallel pairs are measure-zero but
+        # reachable at f32 and would inject infinities into the histogram.
+        weights = 1 / jnp.maximum(jnp.sin(theta12), 1e-6)
         to_add, _ = jnp.histogram(
-            theta12, bins, range=(0, float(jnp.pi)), weights=1 / jnp.sin(theta12)
+            theta12, bins, range=(0, float(jnp.pi)), weights=weights
         )
         # Factor 2 from (i != j) -> (i < j); normalised per evaluation step.
         update = to_add * 4 * bins / batch_size / nelec**2 / jnp.pi
