@@ -102,3 +102,29 @@ def test_kfac_two_spin_sectors():
     assert jnp.isfinite(stats["energy"].real)
     for leaf in jax.tree.leaves(new_state.params):
         assert jnp.all(jnp.isfinite(leaf))
+
+
+def test_kfac_sparse_orbitals_complex_taps():
+    """Sparse orbitals route complex activations through the curvature capture."""
+    from deephall_tpu.config import OrbitalType
+
+    cfg = Config()
+    cfg.system.nspins = (3, 0)
+    cfg.system.flux = 6
+    cfg.network.orbital = OrbitalType.sparse
+    cfg.network.psiformer.num_layers = 1
+    cfg.network.psiformer.num_heads = 1
+    cfg.network.psiformer.heads_dim = 4
+    model = make_network(cfg.system, cfg.network)
+    sample = jnp.zeros((3, 2))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), sample)
+    data = init_guess(jax.random.PRNGKey(1), 16, 3)
+    loss_fn = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_GRAD)
+    init, step = make_kfac_training_step(cfg.optim.kfac, loss_fn, model, sample)
+    opt_state = init(params, jax.random.PRNGKey(2), data)
+    assert any("lll_weight" in p for p in opt_state.kron)
+    state = CheckpointState(params, data, opt_state, jnp.asarray(0.1))
+    new_state, stats = jax.jit(step)(state, jax.random.PRNGKey(3))
+    assert jnp.isfinite(stats["energy"].real)
+    key = [p for p in new_state.opt_state.kron if "lll_weight" in p][0]
+    assert float(jnp.trace(new_state.opt_state.kron[key]["a"])) > 0
