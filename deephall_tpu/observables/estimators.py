@@ -124,9 +124,15 @@ def make_one_rdm(cfg: Config, network) -> Estimator:
 
     batch_product = jax.vmap(eval_product, in_axes=(None, 0, 0))
 
+    # State carries split real/imag planes: complex arrays cannot cross the host
+    # boundary on this TPU runtime (see utils.ComplexPair).
     def init(steps: int):
         del steps
-        return {"one_rdm": jnp.zeros((norb, norb), jnp.complex64), "count": 0.0}
+        return {
+            "one_rdm_re": jnp.zeros((norb, norb)),
+            "one_rdm_im": jnp.zeros((norb, norb)),
+            "count": 0.0,
+        }
 
     def evaluate(params, key, data, state):
         batch = data.shape[:1]
@@ -134,16 +140,17 @@ def make_one_rdm(cfg: Config, network) -> Estimator:
         theta = jnp.arccos(jax.random.uniform(k1, batch, minval=-1, maxval=1))
         phi = jax.random.uniform(k2, batch, minval=-jnp.pi, maxval=jnp.pi)
         r_prime = jnp.stack([theta, phi], axis=-1)[:, None, :]
-        product = batch_product(params, data, r_prime)
+        product = jnp.mean(batch_product(params, data, r_prime), axis=0)
         return {
-            "one_rdm": state["one_rdm"] + jnp.mean(product, axis=0),
+            "one_rdm_re": state["one_rdm_re"] + product.real,
+            "one_rdm_im": state["one_rdm_im"] + product.imag,
             "count": state["count"] + 1.0,
         }
 
     def digest(state, steps: int):
         del steps
-        rdm_real = np.asarray(jax.device_get(state["one_rdm"].real))
-        rdm_imag = np.asarray(jax.device_get(state["one_rdm"].imag))
+        rdm_real = np.asarray(jax.device_get(state["one_rdm_re"]))
+        rdm_imag = np.asarray(jax.device_get(state["one_rdm_im"]))
         one_rdm = (rdm_real + 1j * rdm_imag) / float(jax.device_get(state["count"]))
         return {
             "one_rdm": one_rdm,
@@ -164,9 +171,11 @@ def make_overlap(cfg: Config, network) -> Estimator:
         cfg.system, dataclasses.replace(cfg.network, type="laughlin")
     )
 
+    # Split real/imag state: complex cannot cross the TPU host boundary.
     def init(steps: int):
         return {
-            "ratio": jnp.zeros((), jnp.complex64),
+            "ratio_re": jnp.zeros(()),
+            "ratio_im": jnp.zeros(()),
             "ratio_square": jnp.zeros(()),
             "count": 0.0,
         }
@@ -177,8 +186,10 @@ def make_overlap(cfg: Config, network) -> Estimator:
         logphi = laughlin.apply({}, data)
         shift = jnp.mean((logphi - logpsi).real)
         ratio = jnp.exp(logphi - logpsi - shift)
+        mean_ratio = jnp.nanmean(ratio)
         return {
-            "ratio": state["ratio"] + jnp.nanmean(ratio),
+            "ratio_re": state["ratio_re"] + mean_ratio.real,
+            "ratio_im": state["ratio_im"] + mean_ratio.imag,
             "ratio_square": state["ratio_square"] + jnp.nanmean(jnp.abs(ratio) ** 2),
             "count": state["count"] + 1.0,
         }
@@ -187,8 +198,8 @@ def make_overlap(cfg: Config, network) -> Estimator:
         del steps
         count = float(jax.device_get(state["count"]))
         ratio = complex(
-            float(jax.device_get(state["ratio"].real)),
-            float(jax.device_get(state["ratio"].imag)),
+            float(jax.device_get(state["ratio_re"])),
+            float(jax.device_get(state["ratio_im"])),
         ) / count
         ratio_square = float(jax.device_get(state["ratio_square"])) / count
         return {"overlap": np.asarray(abs(ratio) ** 2 / ratio_square)}
