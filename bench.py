@@ -28,16 +28,15 @@ MEASURE_BLOCKS = 3
 
 
 def main() -> None:
-    jax.config.update("jax_default_matmul_precision", "highest")
     from deephall_tpu import optimizers, parallel
     from deephall_tpu.config import Config
     from deephall_tpu.mcmc import make_mcmc_step
     from deephall_tpu.networks import make_network
     from deephall_tpu.train import init_guess, make_iteration_block
     from deephall_tpu.types import CheckpointState
-    from deephall_tpu.utils import enable_compilation_cache
+    from deephall_tpu.utils import setup_runtime
 
-    enable_compilation_cache()
+    setup_runtime()
     cfg = Config()
     cfg.seed = 42
     cfg.system.nspins = (6, 0)

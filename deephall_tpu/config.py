@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import enum
 import time
+import types
 from dataclasses import dataclass, field, fields, is_dataclass
 from typing import Any, Self, TypeVar, Union, get_args, get_origin, get_type_hints
 
@@ -33,7 +34,8 @@ def _convert_value(ftype: Any, value: Any) -> Any:
     if is_dataclass(ftype):
         return from_dict(ftype, value)
     origin = get_origin(ftype)
-    if origin is Union:  # Optional[...] and unions: try each member
+    # PEP 604 unions (``float | None``) have origin types.UnionType, not typing.Union.
+    if origin is Union or origin is types.UnionType:  # Optional[...]: try each member
         for arg in get_args(ftype):
             if arg is type(None):
                 continue

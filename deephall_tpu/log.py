@@ -212,9 +212,23 @@ class LogManager:
         with (self.save_path / "config.yml").open("w") as f:
             f.writelines(current_config_yaml)
 
-    def save_checkpoint(self, step: int, state: CheckpointState) -> None:
+    def save_checkpoint(
+        self, step: int, state: CheckpointState, adapt: dict | None = None
+    ) -> None:
+        """Save a checkpoint in the reference ``.npz`` format.
+
+        Args:
+            step: Global step index stored under the ``step`` key.
+            state: Parameters, walkers, optimizer state and MCMC width.
+            adapt: Optional width-adaptation state (``pmoves`` ring buffer and step
+                counter ``t``), stored as extra keys — the reference loader reads by
+                key and ignores them, so the on-disk contract is preserved.
+        """
         ckpt_path = self.save_path / f"ckpt_{step:06d}.npz"
         logger.info("Saving checkpoint %s", ckpt_path)
+        extras = {
+            k: np.asarray(jax.device_get(v)) for k, v in (adapt or {}).items()
+        }
         with ckpt_path.open("wb") as f:
             np.savez_compressed(
                 f,
@@ -223,9 +237,12 @@ class LogManager:
                 data=np.asarray(jax.device_get(state.data)),
                 opt_state=_object_array(_to_numpy_tree(state.opt_state)),
                 mcmc_width=np.asarray(jax.device_get(state.mcmc_width)).reshape(()),
+                **extras,
             )
 
-    def try_restore_checkpoint(self) -> tuple[int, CheckpointState] | None:
+    def try_restore_checkpoint(
+        self,
+    ) -> tuple[int, CheckpointState, dict] | None:
         """Restore the newest readable checkpoint under ``restore_path``, if any."""
         if not self.restore_path.exists():
             return None
@@ -241,25 +258,35 @@ class LogManager:
         return None
 
     @staticmethod
-    def restore_checkpoint(ckpt: str | Path | AnyPath) -> tuple[int, CheckpointState]:
+    def restore_checkpoint(
+        ckpt: str | Path | AnyPath,
+    ) -> tuple[int, CheckpointState, dict]:
         """Restore one checkpoint file.
 
         Args:
             ckpt: Checkpoint path.
 
         Returns:
-            ``(next_step, state)``.  ``opt_state`` is ``None`` if it cannot be
+            ``(next_step, state, adapt)``.  ``opt_state`` is ``None`` if it cannot be
             unpickled (e.g. a reference checkpoint whose kfac_jax classes are not
-            importable here) — the caller reinitialises the optimizer.
+            importable here) — the caller reinitialises the optimizer.  ``adapt``
+            holds the width-adaptation extras (``pmoves``, ``t``) when present;
+            reference checkpoints yield an empty dict.
         """
         ckpt_path = AnyPath(ckpt)
         with ckpt_path.open("rb") as npf:
             blob = npf.read()
         import io
 
+        adapt: dict = {}
         with np.load(io.BytesIO(blob), allow_pickle=True) as f:
             step = int(f["step"]) + 1
             params = f["params"].tolist()
+            # Older flax pickles FrozenDicts; normalise to plain dicts so the tree
+            # structure matches everything this framework builds (grads, shardings).
+            from flax.core import unfreeze
+
+            params = unfreeze(params)
             data = np.asarray(f["data"])
             try:
                 opt_state = f["opt_state"].tolist()
@@ -267,6 +294,9 @@ class LogManager:
                 logger.warning("Could not unpickle opt_state; reinitialising optimizer")
                 opt_state = None
             mcmc_width = np.asarray(f["mcmc_width"]).reshape(()).item()
+            for key in ("pmoves", "t"):
+                if key in f.files:
+                    adapt[key] = np.asarray(f[key])
         # Reference checkpoints store data flattened already; older multi-device
         # layouts with a leading device axis are folded back into the batch.
         if data.ndim == 4:
@@ -275,7 +305,7 @@ class LogManager:
         # helper; our optimizers reinitialise in that case (handled by the driver).
         logger.info("Restored checkpoint %s", ckpt_path)
         state = CheckpointState(params, data, opt_state, np.float32(mcmc_width))
-        return step, state
+        return step, state, adapt
 
     @contextmanager
     def create_writer(self) -> Generator[StatsWriter, None, None]:

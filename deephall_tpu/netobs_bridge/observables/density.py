@@ -1,4 +1,9 @@
-"""netobs density estimator (reference ``observables/density.py``)."""
+"""netobs density plugin — thin shim over the shared density kernel.
+
+Same observable as the reference plugin (``/root/reference/deephall/netobs_bridge/
+observables/density.py:24-48``); the histogram physics lives once in
+:func:`deephall_tpu.observables.estimators.density_histogram`.
+"""
 
 from __future__ import annotations
 
@@ -9,6 +14,7 @@ from netobs.observables import Estimator
 from netobs.observables.density import Density
 
 from deephall_tpu.netobs_bridge.hall_system import HallSystem
+from deephall_tpu.observables.estimators import density_histogram
 
 
 class DensityEstimator(Estimator[HallSystem]):
@@ -27,10 +33,9 @@ class DensityEstimator(Estimator[HallSystem]):
     def evaluate(
         self, i, params, key, data, system, state, aux_data
     ) -> tuple[dict[str, jnp.ndarray], dict[str, Any]]:
-        del i, params, system, aux_data, key
-        theta = jnp.reshape(data[..., 0], (-1,))
-        hist, _ = jnp.histogram(theta, self.hist_bins, range=(0.0, float(jnp.pi)))
-        state["map"] += hist
+        del i, params, key, system, aux_data
+        walkers = jnp.reshape(data, (-1, *data.shape[-2:]))
+        state = {"map": state["map"] + density_histogram(walkers, self.hist_bins)}
         return {}, state
 
     def digest(self, all_values, state) -> dict[str, jnp.ndarray]:

@@ -1,8 +1,14 @@
-"""netobs Laughlin-overlap estimator (reference ``observables/overlap.py``)."""
+"""netobs Laughlin-overlap plugin — thin shim over the shared ratio kernel.
+
+Same observable as the reference plugin (``/root/reference/deephall/netobs_bridge/
+observables/overlap.py:31-70``); the importance-ratio physics lives once in
+:func:`deephall_tpu.observables.estimators.make_overlap_ratios`.  Following the
+reference's value contract, ``evaluate`` returns the **per-walker** ratio arrays
+each step, leaving across-step statistics to netobs.
+"""
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any
 
 import jax
@@ -10,7 +16,7 @@ from jax import numpy as jnp
 from netobs.observables import Estimator, Observable
 
 from deephall_tpu.netobs_bridge.hall_system import HallSystem
-from deephall_tpu.networks import make_network
+from deephall_tpu.observables.estimators import make_overlap_ratios
 
 
 class Overlap(Observable):
@@ -23,12 +29,7 @@ class OverlapEstimator(Estimator[HallSystem]):
 
     def __init__(self, adaptor, system, estimator_options, observable_options):
         super().__init__(adaptor, system, estimator_options, observable_options)
-        self.batch_network = jax.vmap(adaptor.call_network, in_axes=(None, 0, None))
-        cfg = adaptor.cfg
-        laughlin = make_network(
-            cfg.system, dataclasses.replace(cfg.network, type="laughlin")
-        )
-        self.batch_laughlin = jax.jit(jax.vmap(laughlin.apply, in_axes=(None, 0)))
+        self.ratios = jax.jit(make_overlap_ratios(adaptor.cfg, adaptor.network))
 
     def empty_val_state(
         self, steps: int
@@ -42,21 +43,16 @@ class OverlapEstimator(Estimator[HallSystem]):
     def evaluate(
         self, i, params, key, data, system, state, aux_data
     ) -> tuple[dict[str, jnp.ndarray], dict[str, Any]]:
-        del i, aux_data, key
-        logpsi = self.batch_network(params, data, system)
-        logphi = self.batch_laughlin({}, data)
-        shift = jnp.mean(logphi - logpsi)
-        ratio = jnp.exp(logphi - logpsi - shift)
-        return {
-            "ratio": jnp.nanmean(ratio),
-            "ratio_square": jnp.nanmean(jnp.abs(ratio) ** 2),
-        }, state
+        del i, key, system, aux_data
+        walkers = jnp.reshape(data, (-1, *data.shape[-2:]))
+        ratio, ratio_square = self.ratios(params, walkers)
+        return {"ratio": ratio, "ratio_square": ratio_square}, state
 
     def digest(self, all_values, state) -> dict[str, jnp.ndarray]:
         del state
-        ratio = all_values["ratio"]
-        ratio_square = all_values["ratio_square"]
-        overlap = jnp.abs(jnp.nanmean(ratio)) ** 2 / jnp.nanmean(ratio_square)
+        overlap = jnp.abs(jnp.nanmean(all_values["ratio"])) ** 2 / jnp.nanmean(
+            all_values["ratio_square"]
+        )
         return {"overlap": overlap}
 
 

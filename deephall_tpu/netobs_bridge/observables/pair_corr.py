@@ -1,4 +1,11 @@
-"""netobs pair-correlation estimator (reference ``observables/pair_corr.py``)."""
+"""netobs pair-correlation plugin — thin shim over the shared pair kernel.
+
+Same observable as the reference plugin (``/root/reference/deephall/netobs_bridge/
+observables/pair_corr.py:29-64``); the weighted-histogram physics (including the
+1e-6 sin floor, this framework's single deliberate deviation) lives once in
+:func:`deephall_tpu.observables.estimators.pair_histogram`, so the netobs surface
+and the standalone runner cannot disagree.
+"""
 
 from __future__ import annotations
 
@@ -7,8 +14,8 @@ from typing import Any
 from jax import numpy as jnp
 from netobs.observables import Estimator, Observable
 
-from deephall_tpu.geometry import pairwise_cos
 from deephall_tpu.netobs_bridge.hall_system import HallSystem
+from deephall_tpu.observables.estimators import pair_histogram
 
 
 class PairCorrelation(Observable):
@@ -32,17 +39,12 @@ class PairCorrelationEstimator(Estimator[HallSystem]):
     def evaluate(
         self, i, params, key, data, system, state, aux_data
     ) -> tuple[dict[str, jnp.ndarray], dict[str, Any]]:
-        del i, params, aux_data, key, system
-        data = jnp.reshape(data, (-1, *data.shape[-2:]))
-        batch_size, nelec, _ = data.shape
-        cos12 = pairwise_cos(data)
-        iu = jnp.triu_indices(nelec, 1)
-        theta12 = jnp.arccos(jnp.clip(cos12[:, iu[0], iu[1]], -1, 1)).reshape(-1)
-        to_add, _ = jnp.histogram(
-            theta12, self.bins, range=(0, float(jnp.pi)), weights=1 / jnp.sin(theta12)
-        )
-        # Norm factor over evaluation steps is not divided here (same as reference).
-        state["pair_corr"] += to_add * 4 * self.bins / batch_size / nelec**2 / jnp.pi
+        del i, params, key, system, aux_data
+        walkers = jnp.reshape(data, (-1, *data.shape[-2:]))
+        state = {
+            # Accumulated without the 1/steps normalisation, as in the reference.
+            "pair_corr": state["pair_corr"] + pair_histogram(walkers, self.bins)
+        }
         return {}, state
 
     def digest(self, all_values, state) -> dict[str, jnp.ndarray]:

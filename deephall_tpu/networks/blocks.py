@@ -307,7 +307,11 @@ class Jastrow(nn.Module):
         else:
             jastrow_ee_par = jnp.zeros(r_ee.shape[:-2])
 
-        if n_up > 0 and n_down > 0:
+        # The anti channel exists whenever n_up > 0, even for polarized systems
+        # where the (n_up, 0) block sums to zero — the reference registers the
+        # parameter in that case too (blocks.py:99-106) and param trees must match
+        # in both directions for checkpoint compatibility.
+        if n_up > 0:
             alpha_anti = self.param("ee_anti", nn.initializers.ones, (1,))
             r_anti = r_ee[..., :n_up, n_up:]
             jastrow_ee_anti = jnp.sum(

@@ -1,10 +1,18 @@
 """Observable estimators: density, pair correlation, 1-RDM, Laughlin overlap.
 
-Functional (state-in, state-out) re-implementations of the reference's netobs
-estimators (``/root/reference/deephall/netobs_bridge/observables/``), usable both from
-the standalone runner (``deephall_tpu.observables.runner``) and from the netobs bridge.
-Each estimator is a pair of pure functions so the accumulation loop jits and shards
-over the global walker mesh like everything else in the framework.
+Feature parity with the reference's netobs estimators
+(``/root/reference/deephall/netobs_bridge/observables/``), organised differently:
+the physics of each observable lives in a **per-step kernel** (a pure function of
+walkers/params), and two thin drivers consume the kernels —
+
+* the functional :class:`Estimator` (init/evaluate/digest) used by the standalone
+  runner (``deephall_tpu.observables.runner``), which accumulates running means in
+  a jit-friendly state so the loop shards over the global walker mesh; and
+* the netobs plugin classes (``deephall_tpu.netobs_bridge.observables``), which
+  return the kernels' per-walker arrays each step, matching the reference's
+  netobs value contract (across-step error bars are netobs's job there).
+
+Keeping one kernel per observable guarantees the two surfaces cannot drift apart.
 """
 
 from __future__ import annotations
@@ -21,90 +29,62 @@ from deephall_tpu.geometry import pairwise_cos
 from deephall_tpu.networks import make_network
 from deephall_tpu.observables.harmonics import make_monopole_harm
 
+# --------------------------------------------------------------------------- #
+# Per-step kernels (single source of truth for the physics)
+# --------------------------------------------------------------------------- #
 
-class Estimator(NamedTuple):
-    """A pure-functional observable estimator.
 
-    ``init(steps)`` builds the accumulator state; ``evaluate(params, key, data,
-    state)`` returns the updated state after one walking step; ``digest(state,
-    steps)`` produces the final named results (host side).
+def density_histogram(data: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """Histogram of electron polar angles over [0, pi] (density profile)."""
+    theta = jnp.reshape(data[..., 0], (-1,))
+    hist, _ = jnp.histogram(theta, bins, range=(0.0, float(jnp.pi)))
+    return hist
+
+
+def pair_histogram(data: jnp.ndarray, bins: int) -> jnp.ndarray:
+    """One step's normalised pair-correlation histogram g(theta_12).
+
+    1/sin-weighted pairwise-angle histogram with the weight floored at sin =
+    1e-6: exactly (anti)podal pairs are measure-zero but reachable at f32 and
+    would inject infinities.  (The reference applies no floor and can produce
+    inf bins; this is the framework's one deliberate deviation, applied to
+    *both* analysis surfaces.)
     """
-
-    init: Callable[[int], Any]
-    evaluate: Callable[..., Any]
-    digest: Callable[[Any, int], dict[str, np.ndarray]]
-
-
-def make_density(cfg: Config, network, bins: int = 50) -> Estimator:
-    """Histogram of theta over [0, pi] (density profile sanity check).
-
-    Reference ``observables/density.py:24-48``.
-    """
-    del network
-
-    def init(steps: int):
-        del steps
-        return {"map": jnp.zeros(bins)}
-
-    def evaluate(params, key, data, state):
-        del params, key
-        theta = jnp.reshape(data[..., 0], (-1,))
-        hist, _ = jnp.histogram(theta, bins, range=(0.0, float(jnp.pi)))
-        return {"map": state["map"] + hist}
-
-    def digest(state, steps: int):
-        del steps
-        return {"map": np.asarray(jax.device_get(state["map"]))}
-
-    return Estimator(init, evaluate, digest)
-
-
-def make_pair_corr(cfg: Config, network, bins: int = 200) -> Estimator:
-    """Pair correlation g(theta_12), 1/sin-weighted histogram of pairwise angles.
-
-    Reference ``observables/pair_corr.py:29-64``.
-    """
-    del network
-    nelec = sum(cfg.system.nspins)
+    batch_size, nelec = data.shape[0], data.shape[-2]
     iu = jnp.triu_indices(nelec, 1)
-
-    def init(steps: int):
-        del steps
-        return {"pair_corr": jnp.zeros(bins)}
-
-    def evaluate(params, key, data, state):
-        del params, key
-        batch_size = data.shape[0]
-        cos12 = pairwise_cos(data)
-        theta12 = jnp.arccos(jnp.clip(cos12[:, iu[0], iu[1]], -1, 1)).reshape(-1)
-        # Floor the 1/sin weight: exactly (anti)parallel pairs are measure-zero but
-        # reachable at f32 and would inject infinities into the histogram.
-        weights = 1 / jnp.maximum(jnp.sin(theta12), 1e-6)
-        to_add, _ = jnp.histogram(
-            theta12, bins, range=(0, float(jnp.pi)), weights=weights
-        )
-        # Factor 2 from (i != j) -> (i < j); normalised per evaluation step.
-        update = to_add * 4 * bins / batch_size / nelec**2 / jnp.pi
-        return {"pair_corr": state["pair_corr"] + update}
-
-    def digest(state, steps: int):
-        return {"pair_corr": np.asarray(jax.device_get(state["pair_corr"])) / steps}
-
-    return Estimator(init, evaluate, digest)
+    cos12 = pairwise_cos(data)
+    theta12 = jnp.arccos(jnp.clip(cos12[:, iu[0], iu[1]], -1, 1)).reshape(-1)
+    weights = 1 / jnp.maximum(jnp.sin(theta12), 1e-6)
+    hist, _ = jnp.histogram(theta12, bins, range=(0, float(jnp.pi)), weights=weights)
+    # Factor 2 from (i != j) -> (i < j); per-step normalisation.
+    return hist * 4 * bins / batch_size / nelec**2 / jnp.pi
 
 
-def make_one_rdm(cfg: Config, network) -> Estimator:
-    """One-body reduced density matrix in the monopole-harmonics LLL basis.
+def sample_insertion_points(key: jnp.ndarray, batch: tuple[int, ...]) -> jnp.ndarray:
+    """Uniform sphere points r' used as 1-RDM insertion positions, ``[*batch, 2]``."""
+    k1, k2 = jax.random.split(key)
+    theta = jnp.arccos(jax.random.uniform(k1, batch, minval=-1, maxval=1))
+    phi = jax.random.uniform(k2, batch, minval=-jnp.pi, maxval=jnp.pi)
+    return jnp.stack([theta, phi], axis=-1)
 
-    Off-diagonal insertion of r' per electron via the diagonal trick and wavefunction
-    ratios (reference ``observables/one_rdm.py:65-119``).
+
+def make_rdm_product(cfg: Config, network) -> Callable:
+    """Build the per-walker 1-RDM integrand in the LLL monopole-harmonics basis.
+
+    For each walker R and insertion point r', computes
+
+        4 pi * sum_a exp(log psi(R'_a) - log psi(R)) phi_i(r_a) phi_j*(r'_a)
+
+    where R'_a replaces electron a's position with r' (the diagonal trick).
+
+    Returns:
+        ``product(params, data [B,N,2], r_prime [B,1,2]) -> [B, norb, norb]``.
     """
     Q = cfg.system.flux / 2
-    norb = cfg.system.flux + 1
     orbitals = [make_monopole_harm(Q, Q, m) for m in np.arange(-Q, Q + 1)]
     nelec = sum(cfg.system.nspins)
 
-    def eval_product(params, data, r_prime):
+    def eval_one(params, data, r_prime):
         data_prime = jnp.repeat(data[None], nelec, axis=0)
         data_prime = data_prime.at[jnp.diag_indices(nelec, 2)].set(r_prime[0])
 
@@ -122,7 +102,92 @@ def make_one_rdm(cfg: Config, network) -> Estimator:
             axis=0,
         )
 
-    batch_product = jax.vmap(eval_product, in_axes=(None, 0, 0))
+    return jax.vmap(eval_one, in_axes=(None, 0, 0))
+
+
+def make_overlap_ratios(cfg: Config, network) -> Callable:
+    """Build the per-walker importance ratios against the analytic Laughlin state.
+
+    overlap = |E[r]|^2 / E[|r|^2] with r = exp(log phi - log psi - shift); the
+    per-step mean shift keeps the exponentials in range and cancels in the final
+    quotient (reference ``observables/overlap.py:55-70``).
+
+    Returns:
+        ``ratios(params, data [B,N,2]) -> (ratio [B] complex, ratio_square [B])``.
+    """
+    laughlin = make_network(
+        cfg.system, dataclasses.replace(cfg.network, type="laughlin")
+    )
+
+    def ratios(params, data):
+        logpsi = network(params, data)
+        logphi = laughlin.apply({}, data)
+        shift = jnp.mean((logphi - logpsi).real)
+        ratio = jnp.exp(logphi - logpsi - shift)
+        return ratio, jnp.abs(ratio) ** 2
+
+    return ratios
+
+
+# --------------------------------------------------------------------------- #
+# Functional estimators for the standalone runner
+# --------------------------------------------------------------------------- #
+
+
+class Estimator(NamedTuple):
+    """A pure-functional observable estimator.
+
+    ``init(steps)`` builds the accumulator state; ``evaluate(params, key, data,
+    state)`` returns the updated state after one walking step; ``digest(state,
+    steps)`` produces the final named results (host side).
+    """
+
+    init: Callable[[int], Any]
+    evaluate: Callable[..., Any]
+    digest: Callable[[Any, int], dict[str, np.ndarray]]
+
+
+def make_density(cfg: Config, network, bins: int = 50) -> Estimator:
+    """Density-profile histogram accumulator (reference ``density.py:24-48``)."""
+    del cfg, network
+
+    def init(steps: int):
+        del steps
+        return {"map": jnp.zeros(bins)}
+
+    def evaluate(params, key, data, state):
+        del params, key
+        return {"map": state["map"] + density_histogram(data, bins)}
+
+    def digest(state, steps: int):
+        del steps
+        return {"map": np.asarray(jax.device_get(state["map"]))}
+
+    return Estimator(init, evaluate, digest)
+
+
+def make_pair_corr(cfg: Config, network, bins: int = 200) -> Estimator:
+    """Pair-correlation accumulator (reference ``pair_corr.py:29-64``)."""
+    del cfg, network
+
+    def init(steps: int):
+        del steps
+        return {"pair_corr": jnp.zeros(bins)}
+
+    def evaluate(params, key, data, state):
+        del params, key
+        return {"pair_corr": state["pair_corr"] + pair_histogram(data, bins)}
+
+    def digest(state, steps: int):
+        return {"pair_corr": np.asarray(jax.device_get(state["pair_corr"])) / steps}
+
+    return Estimator(init, evaluate, digest)
+
+
+def make_one_rdm(cfg: Config, network) -> Estimator:
+    """One-body reduced density matrix accumulator (reference ``one_rdm.py:65-119``)."""
+    norb = cfg.system.flux + 1
+    batch_product = make_rdm_product(cfg, network)
 
     # State carries split real/imag planes: complex arrays cannot cross the host
     # boundary on this TPU runtime (see utils.ComplexPair).
@@ -135,11 +200,7 @@ def make_one_rdm(cfg: Config, network) -> Estimator:
         }
 
     def evaluate(params, key, data, state):
-        batch = data.shape[:1]
-        k1, k2 = jax.random.split(key)
-        theta = jnp.arccos(jax.random.uniform(k1, batch, minval=-1, maxval=1))
-        phi = jax.random.uniform(k2, batch, minval=-jnp.pi, maxval=jnp.pi)
-        r_prime = jnp.stack([theta, phi], axis=-1)[:, None, :]
+        r_prime = sample_insertion_points(key, data.shape[:1])[:, None, :]
         product = jnp.mean(batch_product(params, data, r_prime), axis=0)
         return {
             "one_rdm_re": state["one_rdm_re"] + product.real,
@@ -162,17 +223,12 @@ def make_one_rdm(cfg: Config, network) -> Estimator:
 
 
 def make_overlap(cfg: Config, network) -> Estimator:
-    """Squared overlap |<psi|phi_Laughlin>|^2 via importance-sampled ratios.
-
-    Reference ``observables/overlap.py:31-70``: overlap = |E[r]|^2 / E[|r|^2] with
-    r = exp(log phi - log psi - shift) and a mean shift for numerical stability.
-    """
-    laughlin = make_network(
-        cfg.system, dataclasses.replace(cfg.network, type="laughlin")
-    )
+    """Laughlin-overlap accumulator (reference ``overlap.py:31-70``)."""
+    ratios = make_overlap_ratios(cfg, network)
 
     # Split real/imag state: complex cannot cross the TPU host boundary.
     def init(steps: int):
+        del steps
         return {
             "ratio_re": jnp.zeros(()),
             "ratio_im": jnp.zeros(()),
@@ -182,15 +238,12 @@ def make_overlap(cfg: Config, network) -> Estimator:
 
     def evaluate(params, key, data, state):
         del key
-        logpsi = network(params, data)
-        logphi = laughlin.apply({}, data)
-        shift = jnp.mean((logphi - logpsi).real)
-        ratio = jnp.exp(logphi - logpsi - shift)
+        ratio, ratio_square = ratios(params, data)
         mean_ratio = jnp.nanmean(ratio)
         return {
             "ratio_re": state["ratio_re"] + mean_ratio.real,
             "ratio_im": state["ratio_im"] + mean_ratio.imag,
-            "ratio_square": state["ratio_square"] + jnp.nanmean(jnp.abs(ratio) ** 2),
+            "ratio_square": state["ratio_square"] + jnp.nanmean(ratio_square),
             "count": state["count"] + 1.0,
         }
 

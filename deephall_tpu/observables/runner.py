@@ -29,6 +29,7 @@ from deephall_tpu.log import AnyPath, LogManager, init_logging
 from deephall_tpu.mcmc import make_mcmc_step
 from deephall_tpu.networks import make_network
 from deephall_tpu.observables.estimators import ESTIMATORS
+from deephall_tpu.utils import setup_runtime
 
 logger = logging.getLogger("deephall")
 
@@ -46,7 +47,7 @@ def load_run(ckpt_file: str):
     raw.pop("git_commit", None)
     cfg = Config.from_dict(raw)
     model = make_network(cfg.system, cfg.network)
-    _, state = LogManager.restore_checkpoint(ckpt_path)
+    _, state, _ = LogManager.restore_checkpoint(ckpt_path)
     return cfg, model, state.params, state.data, state.mcmc_width
 
 
@@ -63,6 +64,7 @@ def evaluate_observable(
     estimator_kwargs: dict | None = None,
 ) -> dict[str, np.ndarray]:
     """Walk the chain and accumulate one estimator for ``steps`` evaluations."""
+    setup_runtime()  # highest-precision matmuls: ratios/energies feed the physics
     mesh = parallel.get_mesh()
     data_sharding = NamedSharding(mesh, P(parallel.DATA_AXIS))
     rep_sharding = NamedSharding(mesh, P())

@@ -7,14 +7,59 @@ the global mesh.
 
 from __future__ import annotations
 
+import logging
+
+import optax
 from flax import linen as nn
 
 from deephall_tpu.config import Config, OptimizerName
 from deephall_tpu.loss import LossMode, make_loss_fn
 from deephall_tpu.optimizers.adam import make_adam_training_step
-from deephall_tpu.optimizers.kfac import make_kfac_training_step
+from deephall_tpu.optimizers.kfac import KfacState, make_kfac_training_step
 from deephall_tpu.optimizers.none import make_inference_step
 from deephall_tpu.types import TrainingInit, TrainingStep
+
+logger = logging.getLogger("deephall")
+
+
+def validate_opt_state(cfg: Config, opt_state):
+    """Drop a restored ``opt_state`` that does not belong to the configured optimizer.
+
+    A checkpoint may carry a foreign optimizer state: an adam state resumed under
+    kfac, or a reference checkpoint whose kfac_jax blob happened to unpickle.  Passing
+    such a state into the training step crashes at trace time with an obscure
+    tree/attribute error, so mismatches are dropped here (with a warning) and the
+    driver reinitialises the optimizer instead.
+
+    Args:
+        cfg: Full configuration (selects the expected state type).
+        opt_state: The restored optimizer state (or ``None``).
+
+    Returns:
+        ``opt_state`` if it matches the configured optimizer, else ``None``.
+    """
+    if opt_state is None:
+        return None
+    if cfg.optim.optimizer == OptimizerName.none:
+        return None  # inference keeps no state
+    if cfg.optim.optimizer == OptimizerName.kfac:
+        ok = isinstance(opt_state, KfacState)
+    elif cfg.optim.optimizer == OptimizerName.adam:
+        ok = (
+            isinstance(opt_state, (tuple, list))
+            and len(opt_state) > 0
+            and isinstance(opt_state[0], optax.ScaleByAdamState)
+        )
+    else:  # pragma: no cover - enum is closed
+        ok = False
+    if not ok:
+        logger.warning(
+            "Restored opt_state (%s) does not match optimizer %s; reinitialising",
+            type(opt_state).__name__,
+            cfg.optim.optimizer,
+        )
+        return None
+    return opt_state
 
 
 def make_optimizer_step(

@@ -42,7 +42,7 @@ from deephall_tpu.config import (
 from deephall_tpu.log import CheckpointState, LogManager, init_logging
 from deephall_tpu.loss import LossMode, make_loss_fn
 from deephall_tpu.networks import make_network
-from deephall_tpu.utils import enable_compilation_cache, pack_complex, unpack_complex
+from deephall_tpu.utils import pack_complex, setup_runtime, unpack_complex
 
 logger = logging.getLogger("deephall")
 
@@ -108,8 +108,7 @@ def make_iteration_block(cfg: Config, mcmc_step_fn, training_step):
 
 def train(cfg: Config) -> None:
     """Run the full VMC training loop for the given configuration."""
-    jax.config.update("jax_default_matmul_precision", "highest")
-    enable_compilation_cache()
+    setup_runtime()
     init_logging()
     log_manager = LogManager(cfg)
     parallel.initialize_distributed()
@@ -143,8 +142,10 @@ def train(cfg: Config) -> None:
 
     key = jax.random.PRNGKey(cfg.seed)
     restored = log_manager.try_restore_checkpoint()
+    adapt_restored: dict = {}
     if restored is not None:
-        initial_step, (params, data, opt_state, mcmc_width) = restored
+        initial_step, (params, data, opt_state, mcmc_width), adapt_restored = restored
+        opt_state = optimizers.validate_opt_state(cfg, opt_state)
         params = jax.device_put(params, rep_sharding)
         data = jax.device_put(jnp.asarray(data), data_sharding)
         if opt_state is not None:
@@ -187,8 +188,16 @@ def train(cfg: Config) -> None:
             logger.info("Initial energy: %s", initial_stats["energy"].real)
 
     state = CheckpointState(params, data, opt_state, mcmc_width)
-    pmoves_dev = jax.device_put(jnp.zeros(cfg.mcmc.adapt_frequency), rep_sharding)
-    t_dev = jax.device_put(jnp.zeros((), jnp.int32), rep_sharding)
+    # Width-adaptation state (pmoves ring + step counter) survives a save/restore
+    # boundary so a resumed run reproduces the uninterrupted width trajectory.
+    # Reference checkpoints carry no such keys and start a fresh ring, which is the
+    # reference's own resume behaviour (train.py:131 passes step - initial_step).
+    pmoves0 = adapt_restored.get("pmoves")
+    if pmoves0 is None or pmoves0.shape != (cfg.mcmc.adapt_frequency,):
+        pmoves0 = jnp.zeros(cfg.mcmc.adapt_frequency)
+    t0 = jnp.asarray(adapt_restored.get("t", 0), jnp.int32).reshape(())
+    pmoves_dev = jax.device_put(jnp.asarray(pmoves0), rep_sharding)
+    t_dev = jax.device_put(t0, rep_sharding)
 
     last_save_time = time.time()
     killer = GracefulKiller()
@@ -247,7 +256,9 @@ def train(cfg: Config) -> None:
             ):
                 last_save_time = current_time
                 writer.force_flush()
-                log_manager.save_checkpoint(step - 1, state)
+                log_manager.save_checkpoint(
+                    step - 1, state, adapt={"pmoves": pmoves_dev, "t": t_dev}
+                )
             if killer.kill_now or energy_is_nan:
                 if profiling:
                     jax.profiler.stop_trace()

@@ -15,6 +15,19 @@ import jax
 from jax import numpy as jnp
 
 
+def setup_runtime() -> None:
+    """One-stop runtime setup shared by every entry point.
+
+    Pins matmul precision to ``highest`` (local energies are second derivatives of
+    the network; bf16 matmul error measurably corrupts the physics — PERF_NOTES.md)
+    and enables the persistent compilation cache.  Called by the training driver,
+    the observables runner, the netobs adaptor, bench.py and the profiling script so
+    no analysis path can silently run lower-precision local energies.
+    """
+    jax.config.update("jax_default_matmul_precision", "highest")
+    enable_compilation_cache()
+
+
 def enable_compilation_cache() -> None:
     """Enable the persistent XLA compilation cache.
 

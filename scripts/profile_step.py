@@ -38,7 +38,6 @@ def main():
     parser.add_argument("--batch", type=int, default=3360)
     args = parser.parse_args()
 
-    jax.config.update("jax_default_matmul_precision", "highest")
     from deephall_tpu import optimizers
     from deephall_tpu.config import Config
     from deephall_tpu.loss import LossMode, make_loss_fn
@@ -46,9 +45,9 @@ def main():
     from deephall_tpu.networks import make_network
     from deephall_tpu.train import init_guess, make_iteration_block
     from deephall_tpu.types import CheckpointState
-    from deephall_tpu.utils import enable_compilation_cache, pack_complex
+    from deephall_tpu.utils import pack_complex, setup_runtime
 
-    enable_compilation_cache()
+    setup_runtime()
     cfg = Config()
     cfg.system.nspins = (args.nelec, 0)
     cfg.system.flux = args.flux
