@@ -173,10 +173,29 @@ class StatsWriter:
             self.stats_path.unlink(missing_ok=True)
 
 
-class LogManager:
-    """Save-dir lifecycle: auto-naming, config audit, checkpoint save/restore."""
+class _NullWriter:
+    """Stats sink for non-main processes in multi-host runs: accepts and drops."""
 
-    def __init__(self, cfg: Config):
+    def hide(self, *args) -> None:
+        del args
+
+    def log(self, **kwargs) -> None:
+        del kwargs
+
+    def force_flush(self) -> None:
+        pass
+
+
+class LogManager:
+    """Save-dir lifecycle: auto-naming, config audit, checkpoint save/restore.
+
+    With ``write_artifacts=False`` (non-main processes of a multi-host run) all
+    restore paths work as usual but nothing is written: no run directory, no
+    ``config.yml``, no checkpoints, and ``create_writer`` yields a null sink.
+    """
+
+    def __init__(self, cfg: Config, write_artifacts: bool = True):
+        self.write_artifacts = write_artifacts
         if cfg.log.save_path is None:
             timestamp = datetime.datetime.now().strftime("%Y%m%d_%H:%M:%S")
             self.save_path = AnyPath(
@@ -192,7 +211,7 @@ class LogManager:
             if not self.restore_path.exists():
                 logger.warning("Restore path %s does not exist!", self.restore_path)
 
-        if not self.save_path.exists():
+        if self.write_artifacts and not self.save_path.exists():
             self.save_path.mkdir(parents=True)
 
         self.check_config(cfg)
@@ -203,6 +222,8 @@ class LogManager:
         current_config_yaml = [f"git_commit: {get_git_commit()}\n"]
         current_config_yaml.extend(to_yaml(cfg).splitlines(keepends=True))
 
+        if not self.write_artifacts:
+            return
         if restore_config_path.exists():
             with restore_config_path.open() as f:
                 original_config_yaml = f.readlines()
@@ -224,6 +245,17 @@ class LogManager:
                 counter ``t``), stored as extra keys — the reference loader reads by
                 key and ignores them, so the on-disk contract is preserved.
         """
+        if jax.process_count() > 1 and getattr(state.data, "is_fully_addressable", True) is False:
+            # Walkers are sharded across hosts; fetching them directly would fail
+            # (and 0-byte a checkpoint). Gather on every process — it is a
+            # collective — then only the main process writes below.
+            from jax.experimental import multihost_utils
+
+            state = state._replace(
+                data=multihost_utils.process_allgather(state.data, tiled=True)
+            )
+        if not self.write_artifacts:
+            return
         ckpt_path = self.save_path / f"ckpt_{step:06d}.npz"
         logger.info("Saving checkpoint %s", ckpt_path)
         extras = {
@@ -308,8 +340,14 @@ class LogManager:
         return step, state, adapt
 
     @contextmanager
-    def create_writer(self) -> Generator[StatsWriter, None, None]:
-        """Create a StatsWriter for ``train_stats.csv`` under the save dir."""
+    def create_writer(self) -> Generator[StatsWriter | _NullWriter, None, None]:
+        """Create a StatsWriter for ``train_stats.csv`` under the save dir.
+
+        Non-main processes get a null sink instead.
+        """
+        if not self.write_artifacts:
+            yield _NullWriter()
+            return
         with StatsWriter(self.save_path / "train_stats.csv") as writer:
             yield writer
 

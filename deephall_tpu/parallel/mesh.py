@@ -19,25 +19,60 @@ DATA_AXIS = "data"
 _MESH: Mesh | None = None
 
 
-def initialize_distributed() -> None:
-    """Initialise multi-host JAX if the standard cluster env vars are present.
+def _int_env(name: str) -> int | None:
+    value = os.environ.get(name)
+    return int(value) if value is not None else None
 
-    On a multi-host TPU pod slice each process should call this before any other JAX
-    API. Single-host runs (including CPU test meshes) are a no-op. The reference has no
-    multi-host support at all (single-process pmap only); here it comes for free from
-    the global mesh design: collectives ride ICI within a slice and DCN across slices.
+
+def initialize_distributed() -> None:
+    """Initialise multi-host JAX when launched in a multi-process environment.
+
+    Must run before anything touches the backend (``jax.devices()`` /
+    ``jax.process_count()`` would initialise a single-process backend and make a
+    later ``jax.distributed.initialize`` fail), so the launch environment is probed
+    through env vars only:
+
+    * ``JAX_COORDINATOR_ADDRESS`` (JAX's own standard variable) plus
+      ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` for manual launches;
+    * Slurm (``SLURM_NTASKS``) and OpenMPI (``OMPI_COMM_WORLD_SIZE``) launches
+      defer everything to ``jax.distributed.initialize()``'s cluster auto-detection.
+
+    Single-host runs (including CPU test meshes) are a no-op.  The reference is
+    single-process pmap only (``/root/reference/deephall/constants.py:29-41``);
+    here multi-host falls out of the global-mesh design once the processes
+    rendezvous: collectives ride ICI within a slice and DCN across slices.
     """
-    if jax.process_count() > 1:
-        return  # already initialised
-    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coordinator and os.environ.get("JAX_NUM_PROCESSES"):
+    if jax.distributed.is_initialized():
+        return
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # coordinator_address is read from the env by jax itself; num_processes /
+        # process_id come from our env vars or, failing that, cluster detection.
         jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            num_processes=_int_env("JAX_NUM_PROCESSES"),
+            process_id=_int_env("JAX_PROCESS_ID"),
         )
-        logger.info(
-            "Initialised JAX distributed: %s processes", jax.process_count()
+    elif (
+        _int_env("SLURM_NTASKS") or _int_env("OMPI_COMM_WORLD_SIZE") or 0
+    ) > 1:
+        jax.distributed.initialize()
+    else:
+        return
+    logger.info(
+        "Initialised JAX distributed: process %s of %s",
+        jax.process_index(),
+        jax.process_count(),
+    )
+    requested = _int_env("JAX_NUM_PROCESSES")
+    if requested and jax.process_count() != requested:
+        # Seen when something initialises a PJRT backend before the rendezvous
+        # (e.g. an environment-injected sitecustomize registering a TPU plugin):
+        # the coordinator connects but the backend keeps a single-process view.
+        logger.warning(
+            "Distributed rendezvous incomplete: backend sees %s processes but "
+            "JAX_NUM_PROCESSES=%s. A backend was likely initialised before "
+            "initialize_distributed(); collectives will NOT span hosts.",
+            jax.process_count(),
+            requested,
         )
 
 

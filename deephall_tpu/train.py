@@ -110,8 +110,12 @@ def train(cfg: Config) -> None:
     """Run the full VMC training loop for the given configuration."""
     setup_runtime()
     init_logging()
-    log_manager = LogManager(cfg)
-    parallel.initialize_distributed()
+    parallel.initialize_distributed()  # before LogManager: it queries process rank
+    # All processes restore state through the LogManager, but only process 0 owns
+    # the run directory: CSV stats and checkpoint writes would collide on a shared
+    # filesystem otherwise (the reference is single-process and never hits this).
+    is_main_process = jax.process_index() == 0
+    log_manager = LogManager(cfg, write_artifacts=is_main_process)
     mesh = parallel.get_mesh()
     n_devices = len(mesh.devices.flatten())
     if cfg.batch_size % n_devices:

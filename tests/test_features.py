@@ -4,7 +4,7 @@ harmonic interaction, radius override, quasihole/quasiparticle Laughlin states."
 import jax
 import jax.numpy as jnp
 
-from deephall_tpu.config import Config, InteractionType, Network, System
+from deephall_tpu.config import InteractionType, Network, System
 from deephall_tpu.hamiltonian import local_energy
 from deephall_tpu.loss import LossMode, make_loss_fn
 from deephall_tpu.networks import make_network
