@@ -158,6 +158,16 @@ class System:
 
     interaction_type: InteractionType = InteractionType.coulomb
 
+    compute_l2: bool = True
+    """Compute the L^2 observable each step (requires the full Hessian of log psi).
+
+    TPU-native extension: when False (and ``l2_penalty == 0``), the local energy
+    switches to the forward-Laplacian pipeline — a single second-order forward
+    pass instead of 2N Hessian tangent sweeps — and ``L_square`` is logged as NaN.
+    Energy, Lz and Lz^2 are exact in both modes.  The reference always computes
+    L^2 (``hamiltonian.py:139-159``), which is the default here too.
+    """
+
 
 class NetworkType(StrEnum):
     psiformer = "psiformer"

@@ -238,6 +238,70 @@ def make_batched_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
     return _lapl_over_f
 
 
+def forward_laplacian_local_energy(model, system: System) -> LocalEnergy:
+    """Batched local energy via one forward-Laplacian pass (no Hessian sweeps).
+
+    Available when the ``L^2`` observable is not needed (``system.compute_l2`` off
+    and no ``l2_penalty``): the second-order jet carries exactly the derivative
+    reductions the energy needs — the sphere-metric Laplacian, per-electron
+    gradients, and the all-phi direction for ``Lz``/``Lz^2`` — in a single
+    forward pass of the network (:mod:`deephall_tpu.networks.fwdlap`), instead of
+    the 2N forward-over-reverse tangent passes of the full-Hessian path
+    (reference ``hamiltonian.py:105-114`` keeps the full Hessian only for ``L^2``,
+    ``:139-159``).  ``angular_momentum_square`` is reported as NaN.
+
+    Args:
+        model: The Psiformer module (its hyperparameters drive the jet evaluator).
+        system: System configuration.
+
+    Returns:
+        Function ``(params, data[B, nelec, 2]) -> (E_L [B], OtherObservables [B])``.
+    """
+    from deephall_tpu.networks.fwdlap import psiformer_logpsi_jet
+
+    Q = system.flux / 2
+    radius = jnp.asarray(system.radius if system.radius is not None else jnp.sqrt(Q))
+    pe = make_potential(system.interaction_type, Q, radius)
+
+    def _e_l(
+        params: ArrayTree, data: jnp.ndarray
+    ) -> tuple[jnp.ndarray, OtherObservables]:
+        out = psiformer_logpsi_jet(model, params, data)
+        theta = data[..., 0]
+        sin_t = sin(theta)
+        tan_t = tan(theta)
+        n = data.shape[-2]
+
+        # Seed ordering (fwdlap.electron_seeds): column 2i is e_theta_i, column
+        # 2i+1 is e_phi_i / sin(theta_i), and the last column is sum_i e_phi_i.
+        jc = out.j[:-1].reshape(n, 2, *out.x.shape)
+        g_theta = jnp.moveaxis(jc[:, 0], 0, -1)  # [*B, N]
+        g_phi = jnp.moveaxis(jc[:, 1], 0, -1) * sin_t
+
+        square_grad_logpsi = jnp.sum(out.j[:-1] ** 2, axis=0)
+        grad_grad_logpsi = jnp.sum(g_theta / tan_t, axis=-1) + out.l
+        magnetic_contribution = jnp.sum(
+            (Q / tan_t) ** 2 + 2j * Q * cos(theta) / sin_t**2 * g_phi, axis=-1
+        )
+        kinetic = (
+            -grad_grad_logpsi - square_grad_logpsi + magnetic_contribution
+        ) / 2 / radius**2
+
+        g_phi_sum = out.j[-1]  # first derivative along the all-phi direction
+        angular_momenta = AngularMomenta(
+            angular_momentum_z=g_phi_sum.imag,
+            angular_momentum_z_square=-(out.d + g_phi_sum**2).real,
+            angular_momentum_square=jnp.full(out.x.shape, jnp.nan),
+        )
+        potential = pe(data) * system.interaction_strength
+        return kinetic + potential, angular_momenta | {
+            "potential": potential,
+            "kinetic": kinetic,
+        }
+
+    return _e_l
+
+
 def local_energy(f: LogPsiNetwork, system: System) -> LocalEnergy:
     """Create the per-walker local-energy function (reference ``hamiltonian.py:175-212``).
 

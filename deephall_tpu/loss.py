@@ -27,7 +27,12 @@ from jax import numpy as jnp
 import os
 
 from deephall_tpu.config import System
-from deephall_tpu.hamiltonian import batched_local_energy, local_energy
+from deephall_tpu.hamiltonian import (
+    batched_local_energy,
+    forward_laplacian_local_energy,
+    local_energy,
+)
+from deephall_tpu.networks.psiformer import Psiformer
 from deephall_tpu.types import ArrayTree, LogPsiNetwork, LossStats
 
 # Local-energy pipeline: "batched" (shared linearization, broadcast tangents) or
@@ -55,7 +60,10 @@ class LossMode(enum.Enum):
 
 
 def make_loss_fn(
-    network: LogPsiNetwork, system: System, mode: LossMode = LossMode.ENERGY_GRAD
+    network: LogPsiNetwork,
+    system: System,
+    mode: LossMode = LossMode.ENERGY_GRAD,
+    model=None,
 ) -> Callable[[ArrayTree, jnp.ndarray], tuple[LossStats, ArrayTree]]:
     """Create ``(params, data) -> (stats, grads_or_diff)`` for the given mode.
 
@@ -63,8 +71,20 @@ def make_loss_fn(
     gradients; ``ENERGY_DIFF`` returns the clipped per-walker energy differences (used
     by the inference optimizer and the initial-energy probe); ``SR_F_VECTOR`` returns
     the complex tangent for stochastic reconfiguration.
+
+    When ``model`` is the Psiformer and the ``L^2`` observable is switched off
+    (``system.compute_l2`` False, no ``l2_penalty``), the local energy uses the
+    forward-Laplacian pipeline — one second-order forward pass instead of 2N
+    Hessian tangent sweeps.
     """
-    if ENERGY_IMPL == "batched":
+    if (
+        model is not None
+        and isinstance(model, Psiformer)
+        and not system.compute_l2
+        and not system.l2_penalty
+    ):
+        batch_local_energy = forward_laplacian_local_energy(model, system)
+    elif ENERGY_IMPL == "batched":
         batch_local_energy = batched_local_energy(network, system)
     else:
         batch_local_energy = jax.vmap(local_energy(network, system), in_axes=(None, 0))

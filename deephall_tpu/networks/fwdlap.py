@@ -1,0 +1,221 @@
+"""Forward-Laplacian evaluation of the Psiformer log-wavefunction.
+
+Mirrors ``networks/psiformer.py`` op for op, but propagates second-order jets
+(:mod:`deephall_tpu.ops.fwdlap`) through a single forward pass instead of relying
+on ``jax.hessian`` sweeps.  Reads the exact parameter tree produced by the flax
+modules (the names are a checkpoint-compatibility invariant, so they are safe to
+address directly); equivalence with ``model.apply`` and with the full-Hessian
+local-energy path is pinned by ``tests/test_fwdlap.py``.
+
+The Jastrow factor is folded in algebraically: the forward multiplies the orbital
+matrices by ``exp(J/N)``, so ``log psi = J + logsumdet(Phi)`` exactly, and the
+scalar Jastrow jet is simply added after the determinant.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax import numpy as jnp
+
+from deephall_tpu.config import OrbitalType
+from deephall_tpu.geometry import chord_distances, spinors
+from deephall_tpu.networks.psiformer import Psiformer
+from deephall_tpu.ops import fwdlap
+from deephall_tpu.ops.fwdlap import Jet
+
+
+def _dense(p: dict, t: Jet, use_bias: bool = True) -> Jet:
+    kernel = p["kernel"]
+    if jnp.iscomplexobj(t.x):
+        kernel = kernel.astype(t.x.dtype)
+    return fwdlap.linear(
+        lambda v: v @ kernel, t, bias=p["bias"] if use_bias else None
+    )
+
+
+def _dense_general_last(p: dict, t: Jet) -> Jet:
+    """DenseGeneral contracting the last axis into possibly-multiple feature axes."""
+    kernel = p["kernel"]
+    if jnp.iscomplexobj(t.x):
+        kernel = kernel.astype(t.x.dtype)
+    return fwdlap.linear(
+        lambda v: jnp.tensordot(v, kernel, axes=[[-1], [0]]), t, bias=p.get("bias")
+    )
+
+
+def _layernorm(p: dict, t: Jet, eps: float = 1e-5) -> Jet:
+    mean = fwdlap.linear(lambda v: jnp.mean(v, axis=-1, keepdims=True), t)
+    xc = Jet(t.x - mean.x, t.j - mean.j, t.l - mean.l, t.d - mean.d)
+    var = fwdlap.linear(
+        lambda v: jnp.mean(v, axis=-1, keepdims=True),
+        fwdlap.elementwise(jnp.square, xc),
+    )
+    rs = fwdlap.elementwise(lambda v: jax.lax.rsqrt(v + eps), var)
+    x_hat = fwdlap.bilinear(lambda a, b: a * b, xc, rs)
+    return fwdlap.linear(lambda v: v * p["scale"], x_hat, bias=p["bias"])
+
+
+def _attention(p: dict, num_heads: int, t: Jet) -> Jet:
+    head_dim = t.x.shape[-1] // num_heads
+    q = _dense_general_last(p["query"], t)
+    k = _dense_general_last(p["key"], t)
+    v = _dense_general_last(p["value"], t)
+    q = fwdlap.linear(lambda z: z / jnp.sqrt(head_dim).astype(z.dtype), q)
+
+    # [..., T, H, d] x [..., S, H, d] -> [..., T, S, H] (VPU-friendly contraction,
+    # matching blocks.MultiHeadAttention's "vpu" lowering).
+    logits = fwdlap.bilinear(
+        lambda a, b: jnp.sum(a[..., :, None, :, :] * b[..., None, :, :, :], axis=-1),
+        q,
+        k,
+    )
+    # Softmax over the source axis as exp/sum/reciprocal/mul; the max shift is a
+    # constant of the linearization point and cancels exactly.
+    c = jnp.max(logits.x, axis=-2, keepdims=True)
+    e = fwdlap.elementwise(jnp.exp, fwdlap.shift(logits, -c))
+    s = fwdlap.linear(lambda z: jnp.sum(z, axis=-2, keepdims=True), e)
+    r = fwdlap.elementwise(jnp.reciprocal, s)
+    w = fwdlap.bilinear(lambda a, b: a * b, e, r)
+    # [..., T, S, H] x [..., S, H, d] -> [..., T, H, d]
+    attn = fwdlap.bilinear(
+        lambda a, b: jnp.sum(a[..., None] * b[..., None, :, :, :], axis=-3), w, v
+    )
+    kernel = p["out"]["kernel"]
+    return fwdlap.linear(
+        lambda z: jnp.tensordot(z, kernel, axes=[[-2, -1], [0, 1]]),
+        attn,
+        bias=p["out"]["bias"],
+    )
+
+
+def _featured_orbitals(p: dict, t: Jet, nspins: tuple[int, int]) -> Jet:
+    sectors = []
+    bounds = [(0, nspins[0]), (nspins[0], nspins[0] + nspins[1])]
+    index = 0
+    for lo, hi in bounds:
+        if hi == lo:
+            continue
+        wr = p[f"DenseGeneral_{index}"]
+        wi = p[f"DenseGeneral_{index + 1}"]
+        index += 2
+        kernel = wr["kernel"] + 1j * wi["kernel"]
+        bias = wr["bias"] + 1j * wi["bias"]
+        h_alpha = fwdlap.linear(lambda v, lo=lo, hi=hi: v[..., lo:hi, :], t)
+        sectors.append(
+            fwdlap.linear(
+                lambda v, kernel=kernel: jnp.tensordot(
+                    v.astype(kernel.dtype), kernel, axes=[[-1], [0]]
+                ),
+                h_alpha,
+                bias=bias,
+            )
+        )
+    if len(sectors) == 1:
+        return sectors[0]
+    return Jet(
+        *(
+            jnp.concatenate(parts, axis=-4)
+            for parts in zip(*sectors)
+        )
+    )
+
+
+def psiformer_logpsi_jet(model: Psiformer, params, data: jnp.ndarray) -> Jet:
+    """Second-order jet of ``log psi`` at batched configurations ``[*B, N, 2]``.
+
+    Returns:
+        Scalar-per-walker :class:`Jet` seeded with :func:`fwdlap.electron_seeds`.
+    """
+    p = params["params"] if "params" in params else params
+    seeds = fwdlap.electron_seeds(data)
+    spins = jnp.array([1] * model.nspins[0] + [-1] * model.nspins[1])
+
+    def input_feature(e):
+        theta, phi = e[..., 0], e[..., 1]
+        return jnp.stack(
+            [
+                jnp.cos(theta),
+                jnp.sin(theta) * jnp.cos(phi),
+                jnp.sin(theta) * jnp.sin(phi),
+                jnp.broadcast_to(spins, theta.shape),
+            ],
+            axis=-1,
+        )
+
+    tower = p["PsiformerLayers_0"]
+    h = _dense(
+        tower["Dense_0"], fwdlap.jet_of_fn(input_feature, data, seeds), use_bias=False
+    )
+    for i in range(model.num_layers):
+        attn = _attention(tower[f"MultiHeadAttention_{i}"], model.num_heads, h)
+        h = fwdlap.add(h, _dense(tower[f"Dense_{2 * i + 1}"], attn, use_bias=False))
+        h = _layernorm(tower[f"LayerNorm_{2 * i}"], h)
+        h = fwdlap.add(h, fwdlap.elementwise(jnp.tanh, _dense(tower[f"Dense_{2 * i + 2}"], h)))
+        h = _layernorm(tower[f"LayerNorm_{2 * i + 1}"], h)
+
+    orb_params = p["Orbitals_0"]["featured_orbitals"]
+    orbitals = _featured_orbitals(orb_params, h, model.nspins)  # [*B, N, F, ne, nd]
+
+    n_orb = int(2 * model.Q) + 1
+    if model.orbital_type == OrbitalType.sparse:
+        lll = p["Orbitals_0"]["lll_weight"]
+        kernel = lll["kernel"].astype(orbitals.x.dtype)
+        orbitals = fwdlap.linear(
+            lambda v: jnp.tensordot(v, kernel, axes=[[-3], [0]]),
+            orbitals,
+            bias=lll.get("bias"),
+        )  # [*B, N, ne, nd, n_orb]
+        orbitals = fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), orbitals)
+
+    norm_factor = jnp.asarray(
+        np.sqrt([math.comb(n_orb - 1, k) for k in range(n_orb)]), jnp.float32
+    )
+    m = jnp.arange(-model.Q, model.Q + 1)
+
+    def envelope_fn(e):
+        theta, phi = e[..., 0], e[..., 1]
+        u, v = spinors(theta, phi)
+        return (
+            norm_factor
+            * u[..., None] ** (model.Q + m)
+            * v[..., None] ** (model.Q - m)
+        )
+
+    env = fwdlap.jet_of_fn(envelope_fn, data, seeds)  # [*B, N, n_orb] complex
+    contracted = fwdlap.bilinear(
+        lambda o, e: jnp.sum(o * e[..., None, None], axis=-3), orbitals, env
+    )
+    phi_jet = fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), contracted)
+
+    n_up, n_down = model.nspins
+
+    def jastrow_fn(e):
+        r_ee = chord_distances(e)
+        iu_up = jnp.triu_indices(n_up, k=1)
+        iu_down = jnp.triu_indices(n_down, k=1)
+        r_parallel = jnp.concatenate(
+            [
+                r_ee[..., :n_up, :n_up][..., iu_up[0], iu_up[1]],
+                r_ee[..., n_up:, n_up:][..., iu_down[0], iu_down[1]],
+            ],
+            axis=-1,
+        )
+        total = jnp.zeros(r_ee.shape[:-2])
+        if r_parallel.shape[-1] > 0:
+            alpha_par = p["Jastrow_0"]["ee_par"]
+            total += jnp.sum(
+                -(0.25 * alpha_par**2) / (alpha_par + r_parallel), axis=-1
+            )
+        if n_up > 0:
+            alpha_anti = p["Jastrow_0"]["ee_anti"]
+            r_anti = r_ee[..., :n_up, n_up:]
+            total += jnp.sum(
+                -(0.5 * alpha_anti**2) / (alpha_anti + r_anti), axis=(-2, -1)
+            )
+        return total
+
+    jastrow = fwdlap.jet_of_fn(jastrow_fn, data, seeds)
+    return fwdlap.add(fwdlap.logsumdet_jet(phi_jet), jastrow)

@@ -80,14 +80,14 @@ def make_optimizer_step(
     """
     network = model.apply
     if cfg.optim.optimizer == OptimizerName.adam:
-        loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD)
+        loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD, model=model)
         return make_adam_training_step(cfg.optim.adam, loss_grad_fn)
     if cfg.optim.optimizer == OptimizerName.kfac:
-        loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD)
+        loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD, model=model)
         return make_kfac_training_step(
             cfg.optim.kfac, loss_grad_fn, model, sample_config
         )
     if cfg.optim.optimizer == OptimizerName.none:
-        loss_diff_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF)
+        loss_diff_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF, model=model)
         return make_inference_step(loss_diff_fn)
     raise ValueError(f"Optimizer {cfg.optim.optimizer} is not implemented!")

@@ -140,7 +140,9 @@ def train(cfg: Config) -> None:
     iteration_block = make_iteration_block(cfg, mcmc_step_fn, training_step)
     energy_probe = jax.jit(
         lambda params, data: pack_complex(
-            make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF)(params, data)[0]
+            make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF, model=model)(
+                params, data
+            )[0]
         )
     )
 
