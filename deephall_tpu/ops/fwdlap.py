@@ -44,7 +44,7 @@ from typing import NamedTuple
 import jax
 from jax import numpy as jnp
 
-from deephall_tpu.ops.slogdet import slogdet, solve
+from deephall_tpu.ops.slogdet import slogdet_solve
 
 
 class Jet(NamedTuple):
@@ -174,9 +174,9 @@ def logsumdet_jet(t: Jet) -> Jet:
     j_cols = jnp.moveaxis(t.j, 0, -2).reshape(*phi.shape[:-1], kp1 * n)
     rhs = jnp.concatenate([j_cols, t.l, t.d], axis=-1)  # [*B, ndet, n, (kp1+2)n]
 
-    flat_a = phi.reshape(-1, n, n)
-    flat_b = rhs.reshape(-1, n, (kp1 + 2) * n)
-    m = jax.vmap(solve)(flat_a, flat_b).reshape(rhs.shape)
+    # One elimination per (walker, determinant) yields the determinant and every
+    # channel's solve together.
+    sign, logabs, m = slogdet_solve(phi, rhs)
 
     mj = m[..., : kp1 * n].reshape(*phi.shape[:-1], kp1, n)
     mj = jnp.moveaxis(mj, -2, 0)  # [kp1, *B, ndet, n, n]
@@ -191,7 +191,6 @@ def logsumdet_jet(t: Jet) -> Jet:
         "...ij,...ji->...", mj[-1], mj[-1]
     )
 
-    sign, logabs = slogdet(phi)  # [*B, ndet]
     z = Jet(logabs + jnp.log(sign), jz, lz, dz)
 
     # log-sum-exp over determinants; the shift is a constant and cancels exactly.

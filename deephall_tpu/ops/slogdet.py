@@ -9,20 +9,29 @@ TPU notes:
 * XLA's LAPACK-style complex LU (``jnp.linalg.slogdet``) is not implemented on the TPU
   backend, so this module carries its own unrolled partial-pivot elimination.
   ``nelec`` is tiny (<= ~16), so the O(N) unrolled steps of O(N^2) vector work stay in
-  registers/VMEM and batch over walkers/determinants/AD tangents under ``vmap``.
+  registers/VMEM and batch over walkers/determinants/AD tangents.
+
+* The elimination is **batched-native and gather-free**: all leading axes are batch
+  axes, pivot rows are selected with one-hot masked reductions and row swaps are
+  rebuilt with ``where`` masks instead of per-matrix dynamic indexing.  (An earlier
+  per-matrix variant lifted through ``vmap`` lowered to per-walker gathers/scatters,
+  which dominate the forward pass at production batch sizes.)
 
 * Complex arithmetic is **split into real/imag planes by hand**: XLA's complex
-  lowering of the gather-heavy elimination measures ~3x slower than the explicit
-  real-pair formulation at production shapes, so the public API is complex but every
-  internal op is real.
+  lowering of this code measures ~3x slower than the explicit real-pair formulation
+  at production shapes, so the public API is complex but every internal op is real.
 
 * The local energy takes a **Hessian through log psi**, and differentiating through a
   pivoted elimination twice produces enormous graphs.  ``slogdet`` and ``solve``
   therefore carry custom JVP rules (``d logdet = tr(A^-1 dA)``;
   ``d solve = solve(A, db - dA x)``), defined recursively in terms of ``solve`` so
-  that every AD order reuses triangular solves against the same factorisation instead
-  of differentiating the elimination.  The pivot path is primal-only; XLA CSE merges
-  repeated factorisations of the same matrix.
+  that every AD order reuses solves against the same elimination instead of
+  differentiating it.  The pivot path is primal-only.
+
+* :func:`slogdet_solve` fuses the determinant and a multi-RHS solve into one
+  elimination (the RHS is carried through the row operations, so no L factor or
+  permutation is ever materialised) — used by the forward-Laplacian pipeline, which
+  needs ``log det`` and ``A^-1 [J L D]`` of the same matrices.
 """
 
 from __future__ import annotations
@@ -31,145 +40,179 @@ import jax
 from jax import numpy as jnp
 
 
-def _swap_rows(m: jnp.ndarray, i: int, p: jnp.ndarray, swapped: jnp.ndarray):
-    row_i, row_p = m[i], m[p]
-    m = m.at[i].set(jnp.where(swapped, row_p, row_i))
-    return m.at[p].set(jnp.where(swapped, row_i, row_p))
+def _eliminate_split(ar, ai, br, bi):
+    """Partial-pivot elimination on split-real batches, RHS carried along.
 
-
-def _lu_factor_split(ar: jnp.ndarray, ai: jnp.ndarray):
-    """Split-real LU with partial pivoting for one tiny complex matrix.
+    Args:
+        ar, ai: ``[*, n, n]`` real/imag parts of the matrices.
+        br, bi: ``[*, n, k]`` real/imag RHS (or ``None`` for determinant only).
 
     Returns:
-        ``(lur, lui, perm, sign_re, sign_im, logdet)``: U on/above the diagonal and
-        L multipliers below (unit diagonal implied), the row permutation, the
-        determinant's unit phase and its log magnitude.
+        ``(ur, ui, br, bi, sign_re, sign_im, logdet)``: the upper triangle of the
+        eliminated matrix (lower triangle is garbage, never read), the
+        forward-substituted RHS, and the determinant's unit phase / log magnitude.
     """
     n = ar.shape[-1]
     rows = jnp.arange(n)
-    perm = rows
-    sr = jnp.ones(())
-    si = jnp.zeros(())
-    logdet = jnp.zeros(())
+    batch = ar.shape[:-2]
+    sr = jnp.ones(batch, ar.dtype)
+    si = jnp.zeros(batch, ar.dtype)
+    logdet = jnp.zeros(batch, ar.dtype)
 
     for i in range(n):
-        mag2 = ar[:, i] ** 2 + ai[:, i] ** 2
-        masked = jnp.where(rows >= i, mag2, -1.0)
-        p = jnp.argmax(masked)
-        swapped = p != i
+        col_r, col_i = ar[..., :, i], ai[..., :, i]
+        mag2 = col_r**2 + col_i**2  # [*, n]
+        p = jnp.argmax(jnp.where(rows >= i, mag2, -1.0), axis=-1)  # [*]
+        sel_p = (rows == p[..., None])[..., None]  # [*, n, 1]
+        is_i = (rows == i)[:, None]  # [n, 1]
 
-        ar = _swap_rows(ar, i, p, swapped)
-        ai = _swap_rows(ai, i, p, swapped)
-        perm_i, perm_p = perm[i], perm[p]
-        perm = perm.at[i].set(jnp.where(swapped, perm_p, perm_i))
-        perm = perm.at[p].set(jnp.where(swapped, perm_i, perm_p))
-        flip = jnp.where(swapped, -1.0, 1.0)
-        sr = sr * flip
-        si = si * flip
+        def swap(m, sel_p=sel_p, is_i=is_i):
+            # Row i <- row p, row p <- row i (no-op when p == i), via masks.
+            row_p = jnp.sum(jnp.where(sel_p, m, 0), axis=-2, keepdims=True)
+            row_i = m[..., i : i + 1, :]
+            return jnp.where(is_i, row_p, jnp.where(sel_p, row_i, m))
 
-        pr, pi_ = ar[i, i], ai[i, i]
+        ar, ai = swap(ar), swap(ai)
+        if br is not None:
+            br, bi = swap(br), swap(bi)
+
+        flip = jnp.where(p == i, 1.0, -1.0)
+        pr, pi_ = ar[..., i, i], ai[..., i, i]
         den = pr * pr + pi_ * pi_
         logdet = logdet + 0.5 * jnp.log(den)
         inv_abs = jax.lax.rsqrt(den)
-        sr, si = (sr * pr - si * pi_) * inv_abs, (sr * pi_ + si * pr) * inv_abs
+        sr, si = (
+            flip * (sr * pr - si * pi_) * inv_abs,
+            flip * (sr * pi_ + si * pr) * inv_abs,
+        )
 
-        # Multipliers a[r, i] / pivot for rows r > i.
-        fr = jnp.where(rows > i, (ar[:, i] * pr + ai[:, i] * pi_) / den, 0)
-        fi = jnp.where(rows > i, (ai[:, i] * pr - ar[:, i] * pi_) / den, 0)
-        # Eliminate columns > i only; stored L-columns must not change.
-        cm = (rows > i).astype(ar.dtype)
-        ur, ui = ar[i] * cm, ai[i] * cm
-        ar = ar - (fr[:, None] * ur[None] - fi[:, None] * ui[None])
-        ai = ai - (fr[:, None] * ui[None] + fi[:, None] * ur[None])
-        # Keep the multipliers in column i below the diagonal.
-        ar = ar.at[:, i].set(jnp.where(rows > i, fr, ar[:, i]))
-        ai = ai.at[:, i].set(jnp.where(rows > i, fi, ai[:, i]))
+        # Multipliers for rows below the pivot; eliminate columns > i (and the RHS).
+        below = rows > i
+        pr_c, pi_c, den_c = pr[..., None], pi_[..., None], den[..., None]
+        fr = jnp.where(below, (ar[..., :, i] * pr_c + ai[..., :, i] * pi_c) / den_c, 0)
+        fi = jnp.where(below, (ai[..., :, i] * pr_c - ar[..., :, i] * pi_c) / den_c, 0)
+        cm = below.astype(ar.dtype)
+        ur_, ui_ = ar[..., i, :] * cm, ai[..., i, :] * cm
+        ar = ar - (
+            fr[..., :, None] * ur_[..., None, :] - fi[..., :, None] * ui_[..., None, :]
+        )
+        ai = ai - (
+            fr[..., :, None] * ui_[..., None, :] + fi[..., :, None] * ur_[..., None, :]
+        )
+        if br is not None:
+            row_br, row_bi = br[..., i, :], bi[..., i, :]
+            br = br - (
+                fr[..., :, None] * row_br[..., None, :]
+                - fi[..., :, None] * row_bi[..., None, :]
+            )
+            bi = bi - (
+                fr[..., :, None] * row_bi[..., None, :]
+                + fi[..., :, None] * row_br[..., None, :]
+            )
 
-    return ar, ai, perm, sr, si, logdet
-
-
-def _lu_factor_real(a: jnp.ndarray):
-    """Real-matrix variant of :func:`_lu_factor_split`."""
-    n = a.shape[-1]
-    rows = jnp.arange(n)
-    perm = rows
-    sign = jnp.ones(())
-    logdet = jnp.zeros(())
-
-    for i in range(n):
-        masked = jnp.where(rows >= i, jnp.abs(a[:, i]), -1.0)
-        p = jnp.argmax(masked)
-        swapped = p != i
-        a = _swap_rows(a, i, p, swapped)
-        perm_i, perm_p = perm[i], perm[p]
-        perm = perm.at[i].set(jnp.where(swapped, perm_p, perm_i))
-        perm = perm.at[p].set(jnp.where(swapped, perm_i, perm_p))
-        sign = sign * jnp.where(swapped, -1.0, 1.0)
-
-        pivot = a[i, i]
-        logdet = logdet + jnp.log(jnp.abs(pivot))
-        sign = sign * jnp.sign(pivot)
-        f = jnp.where(rows > i, a[:, i] / pivot, 0)
-        cm = (rows > i).astype(a.dtype)
-        a = a - f[:, None] * (a[i] * cm)[None]
-        a = a.at[:, i].set(jnp.where(rows > i, f, a[:, i]))
-
-    return a, perm, sign, logdet
+    return ar, ai, br, bi, sr, si, logdet
 
 
-def _lu_apply_split(lur, lui, perm, br, bi):
-    """Solve ``A x = b`` from a split factorisation. ``b``: [n, k] (real pair)."""
-    n = lur.shape[-1]
-    xr, xi = br[perm], bi[perm]
-    for i in range(1, n):  # forward substitution (unit-diagonal L)
-        xr = xr.at[i].add(-(lur[i, :i] @ xr[:i] - lui[i, :i] @ xi[:i]))
-        xi = xi.at[i].add(-(lur[i, :i] @ xi[:i] + lui[i, :i] @ xr[:i]))
-    for i in reversed(range(n)):  # back substitution (U)
+def _back_substitute_split(ur, ui, br, bi):
+    """Solve ``U x = b`` for upper-triangular split-real ``U``; ``b``: [*, n, k]."""
+    n = ur.shape[-1]
+    xr = jnp.zeros_like(br)
+    xi = jnp.zeros_like(bi)
+    for i in reversed(range(n)):
+        acc_r, acc_i = br[..., i, :], bi[..., i, :]
         if i < n - 1:
-            xr = xr.at[i].add(-(lur[i, i + 1 :] @ xr[i + 1 :] - lui[i, i + 1 :] @ xi[i + 1 :]))
-            xi = xi.at[i].add(-(lur[i, i + 1 :] @ xi[i + 1 :] + lui[i, i + 1 :] @ xr[i + 1 :]))
-        ur, ui = lur[i, i], lui[i, i]
-        den = ur * ur + ui * ui
-        xr_i = (xr[i] * ur + xi[i] * ui) / den
-        xi_i = (xi[i] * ur - xr[i] * ui) / den
-        xr = xr.at[i].set(xr_i)
-        xi = xi.at[i].set(xi_i)
+            u_r = ur[..., i, i + 1 :]
+            u_i = ui[..., i, i + 1 :]
+            tail_r = xr[..., i + 1 :, :]
+            tail_i = xi[..., i + 1 :, :]
+            acc_r = acc_r - (
+                jnp.einsum("...j,...jk->...k", u_r, tail_r)
+                - jnp.einsum("...j,...jk->...k", u_i, tail_i)
+            )
+            acc_i = acc_i - (
+                jnp.einsum("...j,...jk->...k", u_r, tail_i)
+                + jnp.einsum("...j,...jk->...k", u_i, tail_r)
+            )
+        dr, di = ur[..., i, i, None], ui[..., i, i, None]
+        den = dr * dr + di * di
+        xr = xr.at[..., i, :].set((acc_r * dr + acc_i * di) / den)
+        xi = xi.at[..., i, :].set((acc_i * dr - acc_r * di) / den)
     return xr, xi
 
 
-def _lu_apply_real(lu, perm, b):
-    n = lu.shape[-1]
-    x = b[perm]
-    for i in range(1, n):
-        x = x.at[i].add(-lu[i, :i] @ x[:i])
+def _eliminate_real(a, b):
+    """Real-matrix variant of :func:`_eliminate_split`."""
+    n = a.shape[-1]
+    rows = jnp.arange(n)
+    batch = a.shape[:-2]
+    sign = jnp.ones(batch, a.dtype)
+    logdet = jnp.zeros(batch, a.dtype)
+
+    for i in range(n):
+        p = jnp.argmax(jnp.where(rows >= i, jnp.abs(a[..., :, i]), -1.0), axis=-1)
+        sel_p = (rows == p[..., None])[..., None]
+        is_i = (rows == i)[:, None]
+
+        def swap(m, sel_p=sel_p, is_i=is_i):
+            row_p = jnp.sum(jnp.where(sel_p, m, 0), axis=-2, keepdims=True)
+            row_i = m[..., i : i + 1, :]
+            return jnp.where(is_i, row_p, jnp.where(sel_p, row_i, m))
+
+        a = swap(a)
+        if b is not None:
+            b = swap(b)
+
+        pivot = a[..., i, i]
+        sign = sign * jnp.where(p == i, 1.0, -1.0) * jnp.sign(pivot)
+        logdet = logdet + jnp.log(jnp.abs(pivot))
+        below = rows > i
+        f = jnp.where(below, a[..., :, i] / pivot[..., None], 0)
+        u_ = a[..., i, :] * below.astype(a.dtype)
+        a = a - f[..., :, None] * u_[..., None, :]
+        if b is not None:
+            b = b - f[..., :, None] * b[..., i, :][..., None, :]
+
+    return a, b, sign, logdet
+
+
+def _back_substitute_real(u, b):
+    n = u.shape[-1]
+    x = jnp.zeros_like(b)
     for i in reversed(range(n)):
+        acc = b[..., i, :]
         if i < n - 1:
-            x = x.at[i].add(-lu[i, i + 1 :] @ x[i + 1 :])
-        x = x.at[i].mul(1 / lu[i, i])
+            acc = acc - jnp.einsum(
+                "...j,...jk->...k", u[..., i, i + 1 :], x[..., i + 1 :, :]
+            )
+        x = x.at[..., i, :].set(acc / u[..., i, i, None])
     return x
+
+
+def _split(z):
+    if jnp.iscomplexobj(z):
+        return z.real, z.imag
+    return z, jnp.zeros_like(z)
 
 
 @jax.custom_jvp
 def solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Solve ``a @ x = b`` for tiny matrices (TPU-safe, complex-capable).
+    """Solve ``a @ x = b`` for tiny matrices (TPU-safe, complex-capable, batched).
 
-    ``a``: [n, n]; ``b``: [n, k] or [n]. Differentiable to any order via the custom
-    JVP (the factorisation itself is primal-only).
+    ``a``: [*, n, n]; ``b``: [*, n, k] or [*, n]. Leading axes are batch axes.
+    Differentiable to any order via the custom JVP (the elimination is primal-only).
     """
-    vec = b.ndim == 1
-    b2 = b[:, None] if vec else b
+    vec = b.ndim == a.ndim - 1
+    b2 = b[..., None] if vec else b
     if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
-        lur, lui, perm, *_ = _lu_factor_split(
-            a.real, a.imag if jnp.iscomplexobj(a) else jnp.zeros_like(a.real)
-        )
-        br = b2.real
-        bi = b2.imag if jnp.iscomplexobj(b2) else jnp.zeros_like(br)
-        xr, xi = _lu_apply_split(lur, lui, perm, br, bi)
+        ar, ai = _split(a)
+        br, bi = _split(b2)
+        ur, ui, br, bi, *_ = _eliminate_split(ar, ai, br, bi)
+        xr, xi = _back_substitute_split(ur, ui, br, bi)
         x = xr + 1j * xi
     else:
-        lu, perm, _, _ = _lu_factor_real(a)
-        x = _lu_apply_real(lu, perm, b2)
-    return x[:, 0] if vec else x
+        u, b2, _, _ = _eliminate_real(a, b2)
+        x = _back_substitute_real(u, b2)
+    return x[..., 0] if vec else x
 
 
 @solve.defjvp
@@ -177,26 +220,33 @@ def _solve_jvp(primals, tangents):
     a, b = primals
     da, db = tangents
     x = solve(a, b)
-    dx = solve(a, db - da @ x)
+    if b.ndim == a.ndim - 1:
+        dx = solve(a, db - jnp.einsum("...ij,...j->...i", da, x))
+    else:
+        dx = solve(a, db - da @ x)
     return x, dx
 
 
 @jax.custom_jvp
-def _slogdet_single(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def slogdet(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Sign and log-magnitude of ``det(a)``; drop-in for ``jnp.linalg.slogdet``.
+
+    Works for complex matrices on TPU; leading axes are batch axes.
+    """
     if jnp.iscomplexobj(a):
-        _, _, _, sr, si, logdet = _lu_factor_split(a.real, a.imag)
+        _, _, _, _, sr, si, logdet = _eliminate_split(a.real, a.imag, None, None)
         return sr + 1j * si, logdet
-    _, _, sign, logdet = _lu_factor_real(a)
+    _, _, sign, logdet = _eliminate_real(a, None)
     return sign, logdet
 
 
-@_slogdet_single.defjvp
+@slogdet.defjvp
 def _slogdet_jvp(primals, tangents):
     (a,) = primals
     (da,) = tangents
-    sign, logdet = _slogdet_single(a)
+    sign, logdet = slogdet(a)
     # d logdet(A) = tr(A^-1 dA); real part moves |det|, imaginary part the phase.
-    t = jnp.trace(solve(a, da.astype(a.dtype)))
+    t = jnp.trace(solve(a, da.astype(a.dtype)), axis1=-2, axis2=-1)
     if jnp.iscomplexobj(a):
         d_logdet = t.real
         d_sign = sign * 1j * t.imag
@@ -206,18 +256,23 @@ def _slogdet_jvp(primals, tangents):
     return (sign, logdet), (d_sign, d_logdet)
 
 
-def slogdet(a: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Sign and log-magnitude of ``det(a)``; drop-in for ``jnp.linalg.slogdet``.
+def slogdet_solve(
+    a: jnp.ndarray, b: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused ``(sign, log|det a|, a^-1 b)`` from a single elimination.
 
-    Works for complex matrices on TPU; leading axes are batch axes.
+    Primal-only (no AD rules): used by the forward-Laplacian pipeline, which
+    consumes determinant and solves of the same matrices and performs no further
+    differentiation.  ``b``: [*, n, k].
     """
-    n = a.shape[-1]
-    if a.ndim > 2:
-        batch_shape = a.shape[:-2]
-        flat = a.reshape((-1, n, n))
-        sign, logdet = jax.vmap(_slogdet_single)(flat)
-        return sign.reshape(batch_shape), logdet.reshape(batch_shape)
-    return _slogdet_single(a)
+    if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
+        ar, ai = _split(a)
+        br, bi = _split(b)
+        ur, ui, br, bi, sr, si, logdet = _eliminate_split(ar, ai, br, bi)
+        xr, xi = _back_substitute_split(ur, ui, br, bi)
+        return sr + 1j * si, logdet, xr + 1j * xi
+    u, b2, sign, logdet = _eliminate_real(a, b)
+    return sign, logdet, _back_substitute_real(u, b2)
 
 
 def signed_logsumdet(orbitals: jnp.ndarray) -> jnp.ndarray:

@@ -36,6 +36,11 @@ def main():
     parser.add_argument("--flux", type=int, default=15)
     parser.add_argument("--nelec", type=int, default=6)
     parser.add_argument("--batch", type=int, default=3360)
+    parser.add_argument(
+        "--fast",
+        action="store_true",
+        help="forward-Laplacian local energy (system.compute_l2=false)",
+    )
     args = parser.parse_args()
 
     from deephall_tpu import optimizers
@@ -52,6 +57,7 @@ def main():
     cfg.system.nspins = (args.nelec, 0)
     cfg.system.flux = args.flux
     cfg.batch_size = args.batch
+    cfg.system.compute_l2 = not args.fast
 
     model = make_network(cfg.system, cfg.network)
     sample = jnp.zeros((args.nelec, 2))
@@ -64,15 +70,29 @@ def main():
     fwd = jax.jit(lambda d: d + 1e-9 * batch_network(params, d).real.sum())
     print(f"forward (batch {args.batch}):        {chain_time(fwd, data):9.2f} ms")
 
+    # Determinant micro-benchmark: the forward's slogdet share (batch x ndet tiny
+    # complex matrices through the split-real LU).
+    from deephall_tpu.ops.slogdet import signed_logsumdet
+
+    ndet = cfg.network.psiformer.determinants
+    orb0 = jax.random.normal(
+        jax.random.PRNGKey(7), (args.batch, ndet, args.nelec, args.nelec, 2)
+    )
+    sld = jax.jit(
+        lambda o: o + 1e-9 * signed_logsumdet(o[..., 0] + 1j * o[..., 1]).real.sum()
+    )
+    print(f"slogdet (batch x {ndet} dets):      {chain_time(sld, orb0):9.2f} ms")
+
     mcmc_step_fn = make_mcmc_step(batch_network, steps=cfg.mcmc.steps)
     mc = jax.jit(lambda d: mcmc_step_fn(params, d, key, jnp.asarray(0.1))[0])
     print(f"mcmc sweep ({cfg.mcmc.steps} moves):            {chain_time(mc, data):9.2f} ms")
 
-    diff_loss = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_DIFF)
+    diff_loss = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_DIFF, model=model)
     el = jax.jit(lambda d: d + 1e-9 * diff_loss(params, d)[0]["energy"].real)
-    print(f"local energy (hessian):          {chain_time(el, data):9.2f} ms")
+    label = "fwdlap" if args.fast else "hessian"
+    print(f"local energy ({label}):{'':{9 - len(label)}}{chain_time(el, data):9.2f} ms")
 
-    grad_loss = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_GRAD)
+    grad_loss = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_GRAD, model=model)
     gl = jax.jit(
         lambda d: d + 1e-9 * jax.tree.leaves(grad_loss(params, d)[1])[0].sum()
     )

@@ -50,6 +50,33 @@ def test_gradients_match():
     assert jnp.allclose(h_c, h_r, atol=1e-3)
 
 
+def test_slogdet_solve_fused():
+    """One-elimination (sign, logdet, A^-1 B) matches the separate computations."""
+    a = random_complex(jax.random.PRNGKey(6), (4, 2, 5, 5))
+    b = random_complex(jax.random.PRNGKey(7), (4, 2, 5, 9))
+    sign, logdet, x = sd.slogdet_solve(a, b)
+    sign_ref, logdet_ref = jnp.linalg.slogdet(a)
+    assert jnp.allclose(sign, sign_ref, atol=1e-4)
+    assert jnp.allclose(logdet, logdet_ref, atol=1e-4)
+    assert jnp.allclose(a @ x, b, atol=1e-3)
+
+    ar = jax.random.normal(jax.random.PRNGKey(8), (3, 4, 4))
+    br = jax.random.normal(jax.random.PRNGKey(9), (3, 4, 2))
+    sign2, logdet2, x2 = sd.slogdet_solve(ar, br)
+    sr_ref, lr_ref = jnp.linalg.slogdet(ar)
+    assert jnp.allclose(sign2, sr_ref, atol=1e-5)
+    assert jnp.allclose(logdet2, lr_ref, atol=1e-4)
+    assert jnp.allclose(ar @ x2, br, atol=1e-4)
+
+
+def test_batched_solve_matches():
+    """Batched-native solve agrees with jnp.linalg.solve (complex + real, vector)."""
+    a = random_complex(jax.random.PRNGKey(10), (6, 3, 3))
+    b = random_complex(jax.random.PRNGKey(11), (6, 3))
+    ref = jnp.linalg.solve(a, b[..., None])[..., 0]
+    assert jnp.allclose(sd.solve(a, b), ref, atol=1e-4)
+
+
 def test_signed_logsumdet_multi():
     a = random_complex(jax.random.PRNGKey(4), (3, 5, 5))
     dets = jnp.exp(jnp.linalg.slogdet(a)[1]) * jnp.linalg.slogdet(a)[0]
