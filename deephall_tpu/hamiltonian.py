@@ -12,12 +12,10 @@ real and imaginary parts, ``hamiltonian.py:105-114``) under an outer ``vmap``.  
   complex Hessian one forward-over-reverse sweep over that gradient — a single
   linearization shared by all 2N tangent columns;
 
-* the **batched path** (:func:`batched_local_energy`, used by the loss) runs the
-  whole pipeline on the full ``[batch, nelec, 2]`` walker array with *broadcast*
-  tangent directions: because walkers are independent, pushing ``e_k`` simultaneously
-  through every walker's gradient yields each walker's Hessian column, so the network
-  is evaluated natively batched (full layout control, no vmap lifting) and only
-  2N tangent passes are needed regardless of batch size.
+* the **forward-Laplacian path** (:func:`forward_laplacian_local_energy`, used by
+  the loss whenever the L^2 observable is switched off) propagates a second-order
+  jet through one natively-batched forward pass instead of any Hessian sweeps
+  (:mod:`deephall_tpu.ops.fwdlap`).
 """
 
 from __future__ import annotations
@@ -198,46 +196,6 @@ def make_local_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
     return _lapl_over_f
 
 
-def make_batched_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
-    """Create the batched local kinetic-energy function.
-
-    ``f`` must accept batched configurations ``[batch, nelec, 2]`` and return
-    ``[batch]`` complex log-psi values (the natively-batched network path).  Walker
-    independence turns broadcast tangents into per-walker Hessian columns, so the
-    full complex Hessian of every walker costs one linearization plus 2N tangent
-    passes of the *batched* network — no vmap lifting anywhere.
-
-    Returns:
-        Function ``(params, data[B, nelec, 2]) -> (ke [B], AngularMomenta [B])``.
-    """
-    def _lapl_over_f(params: ArrayTree, data: jnp.ndarray):
-        nelec = data.shape[-2]
-        basis = jnp.eye(2 * nelec).reshape(2 * nelec, nelec, 2)
-        def grad_fn(x):
-            def re_im(y):
-                out = f(params, y)  # [B] complex
-                return jnp.stack([jnp.sum(out.real), jnp.sum(out.imag)])
-
-            return jax.jacrev(re_im)(x)  # [2, B, N, 2] (per-walker by independence)
-
-        grad_ri, jvp_fn = jax.linearize(grad_fn, data)
-        cols = jax.vmap(
-            lambda e: jvp_fn(jnp.broadcast_to(e, data.shape))
-        )(basis)  # [2N, 2, B, N, 2]
-
-        grad = grad_ri[0] + 1j * grad_ri[1]  # [B, N, 2]
-        hess_ri = jnp.moveaxis(cols, 0, -1)  # [2, B, N, 2, 2N]
-        hess_c = hess_ri[0] + 1j * hess_ri[1]  # [B, N, 2, 2N]
-        hess = hess_c.reshape(*hess_c.shape[:-1], nelec, 2)  # [B, N, 2, N, 2]
-
-        theta, phi = data[..., 0], data[..., 1]
-        return jax.vmap(
-            lambda t, p, g, h: _assemble_observables(t, p, g, h, Q, r)
-        )(theta, phi, grad, hess)
-
-    return _lapl_over_f
-
-
 def forward_laplacian_local_energy(model, system: System) -> LocalEnergy:
     """Batched local energy via one forward-Laplacian pass (no Hessian sweeps).
 
@@ -315,29 +273,6 @@ def local_energy(f: LogPsiNetwork, system: System) -> LocalEnergy:
     Q = system.flux / 2
     radius = jnp.asarray(system.radius if system.radius is not None else jnp.sqrt(Q))
     ke = make_local_kinetic_energy(f, Q, radius)
-    pe = make_potential(system.interaction_type, Q, radius)
-
-    def _e_l(
-        params: ArrayTree, data: jnp.ndarray
-    ) -> tuple[jnp.ndarray, OtherObservables]:
-        potential = pe(data) * system.interaction_strength
-        kinetic, angular_momenta = ke(params, data)
-        return kinetic + potential, angular_momenta | {
-            "potential": potential,
-            "kinetic": kinetic,
-        }
-
-    return _e_l
-
-
-def batched_local_energy(f: LogPsiNetwork, system: System) -> LocalEnergy:
-    """Create the batched local-energy function over ``[batch, nelec, 2]`` walkers.
-
-    ``f`` must be the natively-batched log-psi (``model.apply`` on batched data).
-    """
-    Q = system.flux / 2
-    radius = jnp.asarray(system.radius if system.radius is not None else jnp.sqrt(Q))
-    ke = make_batched_kinetic_energy(f, Q, radius)
     pe = make_potential(system.interaction_type, Q, radius)
 
     def _e_l(

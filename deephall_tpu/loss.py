@@ -24,22 +24,10 @@ from collections.abc import Callable
 import jax
 from jax import numpy as jnp
 
-import os
-
 from deephall_tpu.config import System
-from deephall_tpu.hamiltonian import (
-    batched_local_energy,
-    forward_laplacian_local_energy,
-    local_energy,
-)
+from deephall_tpu.hamiltonian import forward_laplacian_local_energy, local_energy
 from deephall_tpu.networks.psiformer import Psiformer
 from deephall_tpu.types import ArrayTree, LogPsiNetwork, LossStats
-
-# Local-energy pipeline: "batched" (shared linearization, broadcast tangents) or
-# "vmapped" (per-walker jacfwd-over-jacrev lifted by vmap).  Both are numerically
-# identical; which one XLA schedules better inside the fused iteration scan is
-# hardware-dependent, so it is switchable for benchmarking.
-ENERGY_IMPL = os.environ.get("DEEPHALL_ENERGY_IMPL", "vmapped")
 
 
 def iqr_clip_real(x: jnp.ndarray, scale: float = 100.0) -> jnp.ndarray:
@@ -84,8 +72,6 @@ def make_loss_fn(
         and not system.l2_penalty
     ):
         batch_local_energy = forward_laplacian_local_energy(model, system)
-    elif ENERGY_IMPL == "batched":
-        batch_local_energy = batched_local_energy(network, system)
     else:
         batch_local_energy = jax.vmap(local_energy(network, system), in_axes=(None, 0))
 

@@ -83,28 +83,3 @@ def test_potentials():
     )
     # cos(theta_12) = -1 -> 1 + 2*(-1) = -1
     assert jnp.allclose(pe_h(data), -1.0)
-
-
-def test_batched_local_energy_matches_vmap():
-    """batched_local_energy must equal vmap(local_energy) walker for walker."""
-    from deephall_tpu.config import Network, System
-    from deephall_tpu.networks import make_network
-
-    system = System(flux=4, nspins=(3, 0))
-    net = Network()
-    net.psiformer.num_layers = 1
-    net.psiformer.num_heads = 2
-    net.psiformer.heads_dim = 4
-    model = make_network(system, net)
-    data = sample(jax.random.PRNGKey(7), 6, 3)
-    params = jax.jit(model.init)(jax.random.PRNGKey(8), data[0])
-
-    el_single = jax.jit(
-        jax.vmap(hamiltonian.local_energy(model.apply, system), in_axes=(None, 0))
-    )
-    el_batched = jax.jit(hamiltonian.batched_local_energy(model.apply, system))
-    e1, obs1 = el_single(params, data)
-    e2, obs2 = el_batched(params, data)
-    assert jnp.allclose(e1, e2, atol=1e-4), (e1, e2)
-    for key in obs1:
-        assert jnp.allclose(obs1[key], obs2[key], atol=1e-4), key

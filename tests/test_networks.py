@@ -138,3 +138,20 @@ def test_native_batching_matches_vmap():
         batched = model.apply(params, data)
         assert batched.shape == per_sample.shape
         assert jnp.allclose(batched, per_sample, atol=1e-5), net.type
+
+
+def test_attention_lowerings_agree(monkeypatch):
+    """All three attention contraction lowerings produce the same numbers.
+
+    The lowering is selected by ``blocks.ATTENTION_IMPL`` (env
+    ``DEEPHALL_ATTENTION_IMPL``); every variant must stay numerically live.
+    """
+    x = jax.random.normal(jax.random.PRNGKey(0), (7, 5, 8))  # batched [B, T, D]
+    mha = blocks.MultiHeadAttention(num_heads=2)
+    variables = mha.init(jax.random.PRNGKey(1), x)
+    outs = {}
+    for impl in ("vpu", "einsum", "bm"):
+        monkeypatch.setattr(blocks, "ATTENTION_IMPL", impl)
+        outs[impl] = mha.apply(variables, x)
+    assert jnp.allclose(outs["vpu"], outs["einsum"], atol=1e-5)
+    assert jnp.allclose(outs["vpu"], outs["bm"], atol=1e-5)
