@@ -128,3 +128,73 @@ def test_kfac_sparse_orbitals_complex_taps():
     assert jnp.isfinite(stats["energy"].real)
     key = [p for p in new_state.opt_state.kron if "lll_weight" in p][0]
     assert float(jnp.trace(new_state.opt_state.kron[key]["a"])) > 0
+
+
+def test_update_matches_dense_kronecker_pin():
+    """One-Dense-layer toy: the step must equal an independent dense computation.
+
+    For a single dense layer the Kronecker factorisation is exact, so the whole
+    update — factors, pi-split damping, solves, quadratic norm, norm constraint,
+    learning rate — can be recomputed from scratch in plain numpy from the
+    kfac_jax equations (reference ``kfac.py:195-241``).  Pins the scale fidelity
+    of the from-scratch implementation (hyperparameters were tuned for kfac_jax
+    semantics, so magnitudes must transfer).
+    """
+    import numpy as np
+    from flax import linen as nn
+
+    from deephall_tpu.config import OptimizerKfac
+    from deephall_tpu.networks import blocks
+
+    din, dout, batch = 4, 3, 16
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return blocks.Dense(dout)(x).sum(axis=-1) + 0j
+
+    model = Toy()
+    x = jax.random.normal(jax.random.PRNGKey(0), (batch, din))
+    params = model.init(jax.random.PRNGKey(1), x[0])
+
+    def loss_grad_fn(p, d):
+        def loss(q):
+            return jnp.sum(model.apply(q, d).real ** 2)
+
+        return {"energy": jnp.zeros(())}, jax.grad(loss)(p)
+
+    cfg = OptimizerKfac()  # production defaults: lr 0.05, damping 1e-3, c 1e-3
+    init, step = make_kfac_training_step(cfg, loss_grad_fn, model, x[0])
+    opt_state = init(params, jax.random.PRNGKey(2), x)
+    state = CheckpointState(params, x, opt_state, jnp.asarray(0.1))
+    new_state, _ = step(state, jax.random.PRNGKey(3))
+
+    # ---- independent dense recomputation (numpy) ----
+    w = np.asarray(params["params"]["Dense_0"]["kernel"])
+    b = np.asarray(params["params"]["Dense_0"]["bias"])
+    xn = np.asarray(x)
+    # gradient of sum((x W + b).sum(-1)^2)
+    out = (xn @ w + b).sum(-1)
+    gw = xn.T @ (2 * out[:, None] * np.ones((1, dout)))
+    gb = (2 * out[:, None] * np.ones((1, dout))).sum(0)
+    # factors: A from sown inputs (+bias column), G from sqrt(2)*ones cotangents
+    a_ext = np.concatenate([xn, np.ones((batch, 1))], -1)
+    a_fac = a_ext.T @ a_ext / batch
+    g_fac = 2.0 * np.ones((dout, dout))
+    # EMA with zero init: state/weight == fresh factors
+    pi = np.sqrt((np.trace(a_fac) / (din + 1)) / (np.trace(g_fac) / dout))
+    a_damped = a_fac + np.sqrt(cfg.damping) * pi * np.eye(din + 1)
+    g_damped = g_fac + np.sqrt(cfg.damping) / pi * np.eye(dout)
+    gmat = np.concatenate([gw, gb[None]], 0)
+    delta = np.linalg.solve(a_damped, gmat)
+    delta = np.linalg.solve(g_damped, delta.T).T
+    quad = np.sum(delta * (a_damped @ delta @ g_damped))
+    lr = cfg.lr.rate  # schedule at step 0
+    coeff = min(1.0, np.sqrt(cfg.norm_constraint / (lr**2 * quad)))
+    expect_w = w - lr * coeff * delta[:-1]
+    expect_b = b - lr * coeff * delta[-1]
+
+    got_w = np.asarray(new_state.params["params"]["Dense_0"]["kernel"])
+    got_b = np.asarray(new_state.params["params"]["Dense_0"]["bias"])
+    np.testing.assert_allclose(got_w, expect_w, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(got_b, expect_b, rtol=1e-4, atol=1e-6)
