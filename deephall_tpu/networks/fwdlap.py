@@ -48,7 +48,7 @@ def _dense_general_last(p: dict, t: Jet) -> Jet:
 
 def _layernorm(p: dict, t: Jet, eps: float = 1e-5) -> Jet:
     mean = fwdlap.linear(lambda v: jnp.mean(v, axis=-1, keepdims=True), t)
-    xc = Jet(t.x - mean.x, t.j - mean.j, t.l - mean.l, t.d - mean.d)
+    xc = Jet(t.x - mean.x, t.t - mean.t)
     var = fwdlap.linear(
         lambda v: jnp.mean(v, axis=-1, keepdims=True),
         fwdlap.elementwise(jnp.square, xc),

@@ -92,6 +92,26 @@ def main():
     label = "fwdlap" if args.fast else "hessian"
     print(f"local energy ({label}):{'':{9 - len(label)}}{chain_time(el, data):9.2f} ms")
 
+    if args.fast:
+        # Determinant share of the jet pipeline: logsumdet_jet at production
+        # shapes ([B, ndet, n, n] orbital jets, K+3 packed channels).
+        from deephall_tpu.ops import fwdlap as fl
+
+        kp3 = 2 * args.nelec + 3
+        shp = (args.batch, ndet, args.nelec, args.nelec)
+        # Complex cannot cross the host boundary on this runtime: carry a real
+        # buffer through the chain and assemble the complex jet inside jit.
+        buf = jax.random.normal(jax.random.PRNGKey(11), (2, kp3 + 1, *shp))
+
+        def lsd(b):
+            pj = fl.Jet(b[0, 0] + 1j * b[1, 0], b[0, 1:] + 1j * b[1, 1:])
+            out = fl.logsumdet_jet(pj).x.real  # [batch]
+            return b + 1e-9 * out[None, None, :, None, None, None]
+
+        print(
+            f"logsumdet_jet (det share):       {chain_time(jax.jit(lsd), buf):9.2f} ms"
+        )
+
     grad_loss = make_loss_fn(model.apply, cfg.system, LossMode.ENERGY_GRAD, model=model)
     gl = jax.jit(
         lambda d: d + 1e-9 * jax.tree.leaves(grad_loss(params, d)[1])[0].sum()
