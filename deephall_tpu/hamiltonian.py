@@ -199,14 +199,28 @@ def make_local_kinetic_energy(f: LogPsiNetwork, Q: float, r: jnp.ndarray):
 def forward_laplacian_local_energy(model, system: System) -> LocalEnergy:
     """Batched local energy via one forward-Laplacian pass (no Hessian sweeps).
 
-    Available when the ``L^2`` observable is not needed (``system.compute_l2`` off
-    and no ``l2_penalty``): the second-order jet carries exactly the derivative
-    reductions the energy needs — the sphere-metric Laplacian, per-electron
-    gradients, and the all-phi direction for ``Lz``/``Lz^2`` — in a single
-    forward pass of the network (:mod:`deephall_tpu.networks.fwdlap`), instead of
-    the 2N forward-over-reverse tangent passes of the full-Hessian path
-    (reference ``hamiltonian.py:105-114`` keeps the full Hessian only for ``L^2``,
-    ``:139-159``).  ``angular_momentum_square`` is reported as NaN.
+    The second-order jet carries exactly the derivative reductions the energy
+    needs — the sphere-metric Laplacian, per-electron gradients, and the all-phi
+    direction for ``Lz``/``Lz^2`` — in a single forward pass of the network
+    (:mod:`deephall_tpu.networks.fwdlap`), instead of the 2N forward-over-reverse
+    tangent passes of the full-Hessian path (reference
+    ``hamiltonian.py:105-114``).
+
+    When the ``L^2`` observable is requested (``system.compute_l2`` or an
+    ``l2_penalty``), three more jet directions are carried — one per Cartesian
+    component ``a`` of the total angular momentum.  Each ``L_a`` is a first-order
+    differential operator, so the full-Hessian contraction of the reference
+    (``hamiltonian.py:139-159``) collapses to directional second derivatives
+    along per-walker constant seeds ``u_a`` plus first-order terms:
+
+        L^2 = sum_a [ -u_a^T H u_a - G_a^2 - 2i Mbar_a G_a + Mbar_a^2 ]
+              - sum_i g_theta_i / tan theta_i
+
+    with ``G_a = u_a . grad log psi`` (a jet first-derivative channel),
+    ``u_a^T H u_a`` a jet second-derivative channel, and
+    ``Mbar_a = sum_i Q (thetahat'_a cos theta + rhat_a)_i`` analytic.  No full
+    Hessian is ever formed; equivalence with the Hessian path is pinned by
+    ``tests/test_fwdlap.py``.
 
     Args:
         model: The Psiformer module (its hyperparameters drive the jet evaluator).
@@ -220,23 +234,25 @@ def forward_laplacian_local_energy(model, system: System) -> LocalEnergy:
     Q = system.flux / 2
     radius = jnp.asarray(system.radius if system.radius is not None else jnp.sqrt(Q))
     pe = make_potential(system.interaction_type, Q, radius)
+    compute_l2 = bool(system.compute_l2 or system.l2_penalty)
 
     def _e_l(
         params: ArrayTree, data: jnp.ndarray
     ) -> tuple[jnp.ndarray, OtherObservables]:
-        out = psiformer_logpsi_jet(model, params, data)
-        theta = data[..., 0]
+        out = psiformer_logpsi_jet(model, params, data, compute_l2=compute_l2)
+        theta, phi = data[..., 0], data[..., 1]
         sin_t = sin(theta)
         tan_t = tan(theta)
         n = data.shape[-2]
 
-        # Seed ordering (fwdlap.electron_seeds): column 2i is e_theta_i, column
-        # 2i+1 is e_phi_i / sin(theta_i), and the last column is sum_i e_phi_i.
-        jc = out.j[:-1].reshape(n, 2, *out.x.shape)
+        # Seed ordering (fwdlap.electron_seeds): Laplacian row 2i is e_theta_i,
+        # row 2i+1 is e_phi_i / sin(theta_i); extra rows are [sum_i e_phi_i]
+        # (+ the three L^2 directions when requested).
+        jc = out.j_lap.reshape(n, 2, *out.x.shape)
         g_theta = jnp.moveaxis(jc[:, 0], 0, -1)  # [*B, N]
         g_phi = jnp.moveaxis(jc[:, 1], 0, -1) * sin_t
 
-        square_grad_logpsi = jnp.sum(out.j[:-1] ** 2, axis=0)
+        square_grad_logpsi = jnp.sum(out.j_lap**2, axis=0)
         grad_grad_logpsi = jnp.sum(g_theta / tan_t, axis=-1) + out.l
         magnetic_contribution = jnp.sum(
             (Q / tan_t) ** 2 + 2j * Q * cos(theta) / sin_t**2 * g_phi, axis=-1
@@ -245,11 +261,26 @@ def forward_laplacian_local_energy(model, system: System) -> LocalEnergy:
             -grad_grad_logpsi - square_grad_logpsi + magnetic_contribution
         ) / 2 / radius**2
 
-        g_phi_sum = out.j[-1]  # first derivative along the all-phi direction
+        g_phi_sum = out.j_extra[0]  # first derivative along the all-phi direction
+        if compute_l2:
+            # Mbar_a = sum_i M_a(i), M = Q (thetahat' cos theta + rhat): [3, *B].
+            r_hat = jnp.stack([sin_t * cos(phi), sin_t * sin(phi), cos(theta)])
+            theta_hat_prime = jnp.stack(
+                [cos(phi) / tan_t, sin(phi) / tan_t, -jnp.ones_like(theta)]
+            )
+            mbar = jnp.sum(Q * (theta_hat_prime * cos(theta) + r_hat), axis=-1)
+            g_a = out.j_extra[1:]  # [3, *B] first derivatives along u_a
+            d2_a = out.d[1:]  # [3, *B] second derivatives along u_a
+            l_square = (
+                jnp.sum(-d2_a - g_a**2 - 2j * mbar * g_a + mbar**2, axis=0)
+                - jnp.sum(g_theta / tan_t, axis=-1)
+            ).real
+        else:
+            l_square = jnp.full(out.x.shape, jnp.nan)
         angular_momenta = AngularMomenta(
             angular_momentum_z=g_phi_sum.imag,
-            angular_momentum_z_square=-(out.d + g_phi_sum**2).real,
-            angular_momentum_square=jnp.full(out.x.shape, jnp.nan),
+            angular_momentum_z_square=-(out.d[0] + g_phi_sum**2).real,
+            angular_momentum_square=l_square,
         )
         potential = pe(data) * system.interaction_strength
         return kinetic + potential, angular_momenta | {

@@ -60,17 +60,13 @@ def make_loss_fn(
     by the inference optimizer and the initial-energy probe); ``SR_F_VECTOR`` returns
     the complex tangent for stochastic reconfiguration.
 
-    When ``model`` is the Psiformer and the ``L^2`` observable is switched off
-    (``system.compute_l2`` False, no ``l2_penalty``), the local energy uses the
-    forward-Laplacian pipeline — one second-order forward pass instead of 2N
-    Hessian tangent sweeps.
+    When ``model`` is the Psiformer, the local energy uses the forward-Laplacian
+    pipeline — one second-order forward pass instead of 2N Hessian tangent
+    sweeps; ``L^2`` (observable or penalty) adds three jet directions rather
+    than falling back to the full Hessian.  Other networks (Laughlin inference)
+    use the per-config Hessian path under ``vmap``.
     """
-    if (
-        model is not None
-        and isinstance(model, Psiformer)
-        and not system.compute_l2
-        and not system.l2_penalty
-    ):
+    if model is not None and isinstance(model, Psiformer):
         batch_local_energy = forward_laplacian_local_energy(model, system)
     else:
         batch_local_energy = jax.vmap(local_energy(network, system), in_axes=(None, 0))

@@ -48,7 +48,7 @@ def _dense_general_last(p: dict, t: Jet) -> Jet:
 
 def _layernorm(p: dict, t: Jet, eps: float = 1e-5) -> Jet:
     mean = fwdlap.linear(lambda v: jnp.mean(v, axis=-1, keepdims=True), t)
-    xc = Jet(t.x - mean.x, t.t - mean.t)
+    xc = Jet(t.x - mean.x, t.j - mean.j, t.l - mean.l, t.d - mean.d)
     var = fwdlap.linear(
         lambda v: jnp.mean(v, axis=-1, keepdims=True),
         fwdlap.elementwise(jnp.square, xc),
@@ -116,21 +116,27 @@ def _featured_orbitals(p: dict, t: Jet, nspins: tuple[int, int]) -> Jet:
     if len(sectors) == 1:
         return sectors[0]
     return Jet(
-        *(
-            jnp.concatenate(parts, axis=-4)
-            for parts in zip(*sectors)
-        )
+        *(jnp.concatenate(parts, axis=-4) for parts in zip(*sectors))
     )
 
 
-def psiformer_logpsi_jet(model: Psiformer, params, data: jnp.ndarray) -> Jet:
+def psiformer_logpsi_jet(
+    model: Psiformer, params, data: jnp.ndarray, compute_l2: bool = False
+) -> Jet:
     """Second-order jet of ``log psi`` at batched configurations ``[*B, N, 2]``.
+
+    Args:
+        model: Psiformer hyperparameters.
+        params: Parameter tree (flax auto-naming).
+        data: ``[*B, N, 2]`` configurations.
+        compute_l2: Also carry the three L^2 directions (extras = 4 instead of 1).
 
     Returns:
         Scalar-per-walker :class:`Jet` seeded with :func:`fwdlap.electron_seeds`.
     """
     p = params["params"] if "params" in params else params
-    seeds = fwdlap.electron_seeds(data)
+    extras = 4 if compute_l2 else 1
+    seeds = fwdlap.electron_seeds(data, compute_l2)
     spins = jnp.array([1] * model.nspins[0] + [-1] * model.nspins[1])
 
     def input_feature(e):
@@ -147,7 +153,7 @@ def psiformer_logpsi_jet(model: Psiformer, params, data: jnp.ndarray) -> Jet:
 
     tower = p["PsiformerLayers_0"]
     h = _dense(
-        tower["Dense_0"], fwdlap.jet_of_fn(input_feature, data, seeds), use_bias=False
+        tower["Dense_0"], fwdlap.jet_of_fn(input_feature, data, seeds, extras), use_bias=False
     )
     for i in range(model.num_layers):
         attn = _attention(tower[f"MultiHeadAttention_{i}"], model.num_heads, h)
@@ -184,7 +190,7 @@ def psiformer_logpsi_jet(model: Psiformer, params, data: jnp.ndarray) -> Jet:
             * v[..., None] ** (model.Q - m)
         )
 
-    env = fwdlap.jet_of_fn(envelope_fn, data, seeds)  # [*B, N, n_orb] complex
+    env = fwdlap.jet_of_fn(envelope_fn, data, seeds, extras)  # [*B, N, n_orb] complex
     contracted = fwdlap.bilinear(
         lambda o, e: jnp.sum(o * e[..., None, None], axis=-3), orbitals, env
     )
@@ -217,5 +223,5 @@ def psiformer_logpsi_jet(model: Psiformer, params, data: jnp.ndarray) -> Jet:
             )
         return total
 
-    jastrow = fwdlap.jet_of_fn(jastrow_fn, data, seeds)
+    jastrow = fwdlap.jet_of_fn(jastrow_fn, data, seeds, extras)
     return fwdlap.add(fwdlap.logsumdet_jet(phi_jet), jastrow)

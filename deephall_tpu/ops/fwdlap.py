@@ -1,45 +1,52 @@
 """Forward-Laplacian jet propagation for local-energy evaluation.
 
-The local energy needs, per walker, the complex gradient of log psi plus three
+The local energy needs, per walker, the complex gradient of log psi plus
 second-derivative reductions: the (metric-weighted) Laplacian
-``sum_i [d^2/dtheta_i^2 + (1/sin^2 theta_i) d^2/dphi_i^2]``, the all-phi directional
-second derivative ``(sum_i d/dphi_i)^2`` (for Lz^2), and — only when the L^2
-observable is requested — the full ``(N,2,N,2)`` Hessian.
+``sum_i [d^2/dtheta_i^2 + (1/sin^2 theta_i) d^2/dphi_i^2]`` and a handful of
+**directional** second derivatives — the all-phi direction ``(sum_i d/dphi_i)^2``
+for Lz^2, and (when the L^2 observable is on) one direction per Cartesian
+component of the total angular momentum, since each ``L_a`` is a first-order
+differential operator and ``(sum_i L_a,i)^2`` is a directional second derivative
+along a per-walker constant seed plus first-order corrections
+(:func:`deephall_tpu.hamiltonian` assembles them).
 
 The reference obtains all of these from ``jax.hessian`` sweeps
 (``/root/reference/deephall/hamiltonian.py:105-114``): one linearization plus 2N
 forward-over-reverse tangent passes, each of which re-traverses the network's
 backward graph.  This module instead propagates a **second-order jet** through a
 single forward pass (the forward-Laplacian technique of arXiv:2307.08214, rebuilt
-here for TPU): every intermediate activation carries the primal value ``x`` plus a
-single **packed tangent block** ``t`` of ``K+3`` channels, where ``K = 2N``:
+here for TPU): with ``K = 2N`` Laplacian directions and ``E`` extra directions
+(``E = 1`` for Lz^2 alone, ``E = 4`` with the three L^2 directions), every
+intermediate activation carries
 
-* rows ``0..K``   — directional first derivatives (the seed directions are the 2N
-  coordinate directions, with the phi columns pre-scaled by ``1/sin theta`` so the
-  Laplacian comes out in the sphere metric, plus one extra ``sum_i d/dphi_i``
-  direction for Lz^2),
-* row ``K+1``     — the summed second directional derivative over the first K
-  directions (the metric Laplacian channel),
-* row ``K+2``     — the second directional derivative along the Lz^2 direction.
+* ``x``   — the primal value,
+* ``j``   — ``K+E`` directional first derivatives (the 2N coordinate directions,
+  with the phi columns pre-scaled by ``1/sin theta`` so the Laplacian comes out
+  in the sphere metric, followed by the E extra directions),
+* ``l``   — the summed second directional derivative over the K Laplacian
+  directions,
+* ``d``   — ``E`` individual second directional derivatives, one per extra
+  direction (row 0 is the Lz^2 direction).
 
-Packing matters on TPU: linear layers and pointwise channel arithmetic see ONE
-``[(K+3)*B*T, D]`` tensor instead of three or four separately-scheduled ops, so XLA
-tiles one large matmul onto the MXU and fuses the channel arithmetic once.  The
-second-order rows differ from the first-order rows only by *additive* curvature
-corrections, applied with static-index ``.at[-2:].add`` updates.
+``E = d.shape[0]`` and ``K = j.shape[0] - E`` are static, so the split needs no
+auxiliary metadata.  (A packed single-block variant — all channels in one stacked
+tensor with static-index ``.at[].add`` curvature corrections — measured ~10%
+SLOWER end-to-end on TPU: the dynamic-update-slices block XLA's elementwise
+fusion, while the separate-field formulation fuses cleanly.)
 
 Propagation rules compose from four primitives: linear maps (applied verbatim to
-the packed block), elementwise functions (first/second derivatives taken pointwise
+every channel), elementwise functions (first/second derivatives taken pointwise
 with nested ``jax.jvp`` — no hand-derived tables), bilinear contractions (product
-rule on the block plus a cross term over tangent rows), and closed-form input
-functions (seeded directly with nested ``jax.jvp``).  Determinants get a custom
-rule in terms of triangular solves against the primal LU (``ops.slogdet.solve``):
+rule with a cross term over tangent channels), and closed-form input functions
+(seeded directly with nested ``jax.jvp``).  Determinants get a custom rule in
+terms of triangular solves against the primal LU (``ops.slogdet.solve``):
 
     d   log det A = tr(A^-1 dA)
     d^2 log det A = tr(A^-1 d^2 A) - tr((A^-1 dA)^2)
 
-Everything is one big batched forward pass: there are no reverse sweeps and no
-stored residuals, and XLA fuses the channel arithmetic into the surrounding ops.
+Everything is one big batched forward pass: dense layers see ``[(K+E)*B*T, D]``
+matmuls (MXU-shaped), there are no reverse sweeps and no stored residuals, and
+XLA fuses the channel arithmetic into the surrounding ops.
 """
 
 from __future__ import annotations
@@ -54,64 +61,56 @@ from deephall_tpu.ops.slogdet import slogdet_solve
 
 
 class Jet(NamedTuple):
-    """Second-order jet: primal ``x`` plus the packed ``[K+3, *S]`` tangent block.
-
-    Rows of ``t``: ``0..K`` directional first derivatives (K+1 of them), ``K+1``
-    the summed second derivative over directions ``0..K-1``, ``K+2`` the second
-    derivative along direction ``K``.  The ``j``/``l``/``d`` properties expose the
-    unpacked view for consumers (the Hamiltonian reads first derivatives and the
-    two curvature channels separately).
-    """
+    """Second-order jet of an intermediate value; see the module docstring."""
 
     x: jnp.ndarray  # [*S] primal
-    t: jnp.ndarray  # [K+3, *S] packed tangent block
+    j: jnp.ndarray  # [K+E, *S] directional first derivatives
+    l: jnp.ndarray  # [*S] summed second derivative over the K Laplacian dirs
+    d: jnp.ndarray  # [E, *S] second derivatives along the extra directions
 
     @property
-    def j(self) -> jnp.ndarray:
-        """Directional first derivatives, ``[K+1, *S]``."""
-        return self.t[:-2]
+    def extras(self) -> int:
+        """Number of extra directions E (static)."""
+        return self.d.shape[0]
 
     @property
-    def l(self) -> jnp.ndarray:  # noqa: E743 - matches the math (Laplacian)
-        """Summed second directional derivative over directions ``0..K-1``."""
-        return self.t[-2]
+    def j_lap(self) -> jnp.ndarray:
+        """First derivatives along the K Laplacian directions, ``[K, *S]``."""
+        return self.j[: -self.extras]
 
     @property
-    def d(self) -> jnp.ndarray:
-        """Second directional derivative along direction ``K`` (the Lz^2 seed)."""
-        return self.t[-1]
+    def j_extra(self) -> jnp.ndarray:
+        """First derivatives along the E extra directions, ``[E, *S]``."""
+        return self.j[-self.extras :]
 
 
 def add(a: Jet, b: Jet) -> Jet:
     """Jet of ``a + b`` (all channels add; broadcasting allowed)."""
-    return Jet(a.x + b.x, a.t + b.t)
+    return Jet(a.x + b.x, a.j + b.j, a.l + b.l, a.d + b.d)
 
 
 def shift(t: Jet, c: jnp.ndarray) -> Jet:
     """Jet of ``x + c`` for a constant ``c`` (derivative channels unchanged)."""
-    return Jet(t.x + c, t.t)
+    return Jet(t.x + c, t.j, t.l, t.d)
 
 
 def linear(f: Callable[[jnp.ndarray], jnp.ndarray], t: Jet, bias=None) -> Jet:
     """Jet of a linear map.
 
     ``f`` must act on trailing axes only (tensordot/reshape/moveaxis with negative
-    axes), so it applies unchanged to the packed channel block — one call for all
-    K+3 tangent channels.
+    axes), so it applies unchanged to the channel-stacked ``j`` and ``d``.
     """
     x = f(t.x)
     if bias is not None:
         x = x + bias
-    return Jet(x, f(t.t))
+    return Jet(x, f(t.j), f(t.l), f(t.d))
 
 
 def elementwise(f: Callable[[jnp.ndarray], jnp.ndarray], t: Jet) -> Jet:
     """Jet of a pointwise (holomorphic, if complex) function.
 
     First and second pointwise derivatives are extracted with nested ``jax.jvp``
-    against a ones tangent, so no per-function derivative table is needed.  The
-    chain rule scales the whole block by ``f'``; the curvature rows additionally
-    pick up ``f'' * (first-derivative row)^2`` terms.
+    against a ones tangent, so no per-function derivative table is needed.
     """
     ones = jnp.ones_like(t.x)
     x = f(t.x)
@@ -119,10 +118,13 @@ def elementwise(f: Callable[[jnp.ndarray], jnp.ndarray], t: Jet) -> Jet:
     _, f2 = jax.jvp(
         lambda y: jax.jvp(f, (y,), (jnp.ones_like(y),))[1], (t.x,), (ones,)
     )
-    jsq = jnp.sum(jnp.square(t.t[:-3]), axis=0)  # Laplacian directions
-    out = f1 * t.t
-    out = out.at[-2].add(f2 * jsq).at[-1].add(f2 * jnp.square(t.t[-3]))
-    return Jet(x, out)
+    jsq = jnp.sum(jnp.square(t.j_lap), axis=0)
+    return Jet(
+        x,
+        f1 * t.j,
+        f1 * t.l + f2 * jsq,
+        f1 * t.d + f2 * jnp.square(t.j_extra),
+    )
 
 
 def bilinear(f: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray], a: Jet, b: Jet) -> Jet:
@@ -132,14 +134,19 @@ def bilinear(f: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray], a: Jet, b: Je
     patterns or plain elementwise arithmetic on trailing axes).
     """
     x = f(a.x, b.x)
-    out = f(a.t, b.x[None]) + f(a.x[None], b.t)
-    cross_l = 2 * jnp.sum(f(a.t[:-3], b.t[:-3]), axis=0)
-    cross_d = 2 * f(a.t[-3], b.t[-3])
-    out = out.at[-2].add(cross_l).at[-1].add(cross_d)
-    return Jet(x, out)
+    j = f(a.j, b.x[None]) + f(a.x[None], b.j)
+    cross = f(a.j_lap, b.j_lap)
+    l = f(a.l, b.x) + f(a.x, b.l) + 2 * jnp.sum(cross, axis=0)
+    d = f(a.d, b.x[None]) + f(a.x[None], b.d) + 2 * f(a.j_extra, b.j_extra)
+    return Jet(x, j, l, d)
 
 
-def jet_of_fn(f: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray, seeds: jnp.ndarray) -> Jet:
+def jet_of_fn(
+    f: Callable[[jnp.ndarray], jnp.ndarray],
+    x: jnp.ndarray,
+    seeds: jnp.ndarray,
+    extras: int = 1,
+) -> Jet:
     """Seed a jet through a closed-form function with nested ``jax.jvp``.
 
     Used for the input-side functions (input features, monopole envelope, Jastrow)
@@ -148,7 +155,8 @@ def jet_of_fn(f: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray, seeds: jn
     Args:
         f: Function of the electron configuration.
         x: ``[*B, N, 2]`` configurations.
-        seeds: ``[K+1, *B, N, 2]`` tangent directions.
+        seeds: ``[K+E, *B, N, 2]`` tangent directions (Laplacian first, extras last).
+        extras: Number of extra directions E.
     """
 
     def d1(v):
@@ -159,25 +167,29 @@ def jet_of_fn(f: Callable[[jnp.ndarray], jnp.ndarray], x: jnp.ndarray, seeds: jn
 
     j = jax.vmap(d1)(seeds)
     h = jax.vmap(d2)(seeds)
-    t = jnp.concatenate([j, jnp.sum(h[:-1], axis=0)[None], h[-1:]], axis=0)
-    return Jet(f(x), t)
+    return Jet(f(x), j, jnp.sum(h[:-extras], axis=0), h[-extras:])
 
 
-def electron_seeds(data: jnp.ndarray) -> jnp.ndarray:
-    """Seed directions for the sphere-metric Laplacian plus the Lz^2 direction.
+def electron_seeds(data: jnp.ndarray, compute_l2: bool = False) -> jnp.ndarray:
+    """Seed directions: sphere-metric Laplacian, Lz^2, and optionally L^2.
 
     Directions ``k = 2*i`` are ``e_theta_i``; ``k = 2*i + 1`` are
     ``e_phi_i / sin(theta_i)`` (per-walker scaling, so the summed second
-    derivative lands directly in the sphere metric); the final direction is
-    ``sum_i e_phi_i`` (unscaled), whose second derivative gives ``Lz^2``.
+    derivative lands directly in the sphere metric).  Extra direction 0 is
+    ``sum_i e_phi_i`` (unscaled), whose second derivative gives Lz^2.  With
+    ``compute_l2``, three more directions follow — one per Cartesian component
+    ``a`` of the total angular momentum, ``u_a[i] = (phihat_a(i), -thetahatprime_a(i))``
+    in (theta, phi) slots — whose second derivatives give the ``u_a^T H u_a``
+    quadratic forms of the L^2 contraction (see ``hamiltonian._assemble_observables``).
 
     Args:
         data: ``[*B, N, 2]`` electron configurations.
+        compute_l2: Append the three L^2 directions.
 
     Returns:
-        ``[2N+1, *B, N, 2]`` seed tangents.
+        ``[2N+E, *B, N, 2]`` seed tangents (``E = 4`` with ``compute_l2`` else 1).
     """
-    theta = data[..., 0]
+    theta, phi = data[..., 0], data[..., 1]
     n = data.shape[-2]
     batch_ndim = data.ndim - 2
     eye = jnp.eye(2 * n).reshape((2 * n,) + (1,) * batch_ndim + (n, 2))
@@ -186,46 +198,63 @@ def electron_seeds(data: jnp.ndarray) -> jnp.ndarray:
     u = jnp.broadcast_to(
         jnp.stack([jnp.zeros_like(theta), jnp.ones_like(theta)], axis=-1), data.shape
     )
-    return jnp.concatenate([coord_seeds, u[None]], axis=0)
+    seeds = [coord_seeds, u[None]]
+    if compute_l2:
+        phi_hat = jnp.stack(
+            [-jnp.sin(phi), jnp.cos(phi), jnp.zeros_like(phi)]
+        )  # [3, *B, N]
+        theta_hat_prime = jnp.stack(
+            [
+                jnp.cos(phi) / jnp.tan(theta),
+                jnp.sin(phi) / jnp.tan(theta),
+                -jnp.ones_like(theta),
+            ]
+        )
+        seeds.append(jnp.stack([phi_hat, -theta_hat_prime], axis=-1))  # [3, *B, N, 2]
+    return jnp.concatenate(seeds, axis=0)
 
 
 def logsumdet_jet(t: Jet) -> Jet:
     """Jet of ``log sum_d det(Phi_d)`` from the jet of the orbital matrices.
 
-    ``t.x``: ``[*B, ndet, n, n]`` complex.  All K+3 channels are solved against
-    one LU factorisation per (walker, determinant): the packed block's matrices
-    become the columns of a single multi-RHS ``solve`` call.
+    ``t.x``: ``[*B, ndet, n, n]`` complex.  All derivative channels are solved
+    against one LU factorisation per (walker, determinant): the channel RHS
+    columns are concatenated into a single multi-RHS ``solve`` call.
     """
     phi = t.x
     n = phi.shape[-1]
-    kp3 = t.t.shape[0]
+    e = t.extras
+    ke = t.j.shape[0]  # K + E
 
-    # [kp3, *B, ndet, n, n] -> [*B, ndet, n, kp3*n] column blocks.
-    cols = jnp.moveaxis(t.t, 0, -2).reshape(*phi.shape[:-1], kp3 * n)
+    # [ke, *B, ndet, n, n] -> [*B, ndet, n, ke*n] column blocks, then the l and
+    # the E d-channel blocks.
+    j_cols = jnp.moveaxis(t.j, 0, -2).reshape(*phi.shape[:-1], ke * n)
+    d_cols = jnp.moveaxis(t.d, 0, -2).reshape(*phi.shape[:-1], e * n)
+    rhs = jnp.concatenate([j_cols, t.l, d_cols], axis=-1)  # [*B, ndet, n, (ke+1+e)n]
 
     # One elimination per (walker, determinant) yields the determinant and every
     # channel's solve together.
-    sign, logabs, m = slogdet_solve(phi, cols)
+    sign, logabs, m = slogdet_solve(phi, rhs)
 
-    mall = jnp.moveaxis(
-        m.reshape(*phi.shape[:-1], kp3, n), -2, 0
-    )  # [kp3, *B, ndet, n, n]
+    mj = m[..., : ke * n].reshape(*phi.shape[:-1], ke, n)
+    mj = jnp.moveaxis(mj, -2, 0)  # [ke, *B, ndet, n, n]
+    ml = m[..., ke * n : (ke + 1) * n]
+    md = m[..., (ke + 1) * n :].reshape(*phi.shape[:-1], e, n)
+    md = jnp.moveaxis(md, -2, 0)  # [e, *B, ndet, n, n]
 
-    # tr(A^-1 dA) per channel: first derivatives for the j rows, tr(A^-1 L) /
-    # tr(A^-1 D) for the curvature rows.
-    tr = jnp.trace(mall, axis1=-2, axis2=-1)  # [kp3, *B, ndet]
-    # Curvature corrections: - tr((A^-1 dA)^2), summed over the Laplacian
-    # directions for the l row, along the Lz^2 direction for the d row.
-    sq = jnp.einsum("k...ij,k...ji->k...", mall[:-3], mall[:-3])
-    tr = tr.at[-2].add(-jnp.sum(sq, axis=0)).at[-1].add(
-        -jnp.einsum("...ij,...ji->...", mall[-3], mall[-3])
-    )
+    jz = jnp.trace(mj, axis1=-2, axis2=-1)  # [ke, *B, ndet]
+    # tr((A^-1 dA)^2): summed over the Laplacian directions for l, per-direction
+    # for the extras.
+    sq_lap = jnp.einsum("k...ij,k...ji->k...", mj[:-e], mj[:-e])
+    sq_extra = jnp.einsum("k...ij,k...ji->k...", mj[-e:], mj[-e:])
+    lz = jnp.trace(ml, axis1=-2, axis2=-1) - jnp.sum(sq_lap, axis=0)
+    dz = jnp.trace(md, axis1=-2, axis2=-1) - sq_extra
 
-    z = Jet(logabs + jnp.log(sign), tr)
+    z = Jet(logabs + jnp.log(sign), jz, lz, dz)
 
     # log-sum-exp over determinants; the shift is a constant and cancels exactly.
     c = jnp.max(z.x.real, axis=-1, keepdims=True)
-    e = elementwise(jnp.exp, shift(z, -c))
-    s = linear(lambda v: jnp.sum(v, axis=-1), e)
+    ex = elementwise(jnp.exp, shift(z, -c))
+    s = linear(lambda v: jnp.sum(v, axis=-1), ex)
     out = elementwise(jnp.log, s)
     return shift(out, c[..., 0])

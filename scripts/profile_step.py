@@ -97,14 +97,15 @@ def main():
         # shapes ([B, ndet, n, n] orbital jets, K+3 packed channels).
         from deephall_tpu.ops import fwdlap as fl
 
-        kp3 = 2 * args.nelec + 3
+        kp1 = 2 * args.nelec + 1
         shp = (args.batch, ndet, args.nelec, args.nelec)
         # Complex cannot cross the host boundary on this runtime: carry a real
         # buffer through the chain and assemble the complex jet inside jit.
-        buf = jax.random.normal(jax.random.PRNGKey(11), (2, kp3 + 1, *shp))
+        buf = jax.random.normal(jax.random.PRNGKey(11), (2, kp1 + 3, *shp))
 
         def lsd(b):
-            pj = fl.Jet(b[0, 0] + 1j * b[1, 0], b[0, 1:] + 1j * b[1, 1:])
+            c = b[0] + 1j * b[1]  # [kp1+3, *shp]
+            pj = fl.Jet(c[0], c[1 : kp1 + 1], c[kp1 + 1], c[kp1 + 2 :])
             out = fl.logsumdet_jet(pj).x.real  # [batch]
             return b + 1e-9 * out[None, None, :, None, None, None]
 

@@ -53,12 +53,20 @@ def test_jet_matches_full_hessian(flux, nspins, orbital, ndets):
     np.testing.assert_allclose(np.asarray(out.x), np.asarray(logpsi), rtol=1e-5, atol=1e-5)
 
     full = jax.vmap(local_energy(model.apply, system), in_axes=(None, 0))
-    fast = forward_laplacian_local_energy(model, system)
     el_full, obs_full = jax.jit(full)(params, data)
-    el_fast, obs_fast = jax.jit(fast)(params, data)
 
+    # Default system (compute_l2=True): the jet carries the three L^2 directions
+    # and must reproduce the full-Hessian contraction, observable included.
+    fast = forward_laplacian_local_energy(model, system)
+    el_fast, obs_fast = jax.jit(fast)(params, data)
     np.testing.assert_allclose(np.asarray(el_fast), np.asarray(el_full), rtol=2e-3, atol=2e-3)
-    for key in ("kinetic", "potential", "angular_momentum_z", "angular_momentum_z_square"):
+    for key in (
+        "kinetic",
+        "potential",
+        "angular_momentum_z",
+        "angular_momentum_z_square",
+        "angular_momentum_square",
+    ):
         np.testing.assert_allclose(
             np.asarray(obs_fast[key]),
             np.asarray(obs_full[key]),
@@ -66,7 +74,14 @@ def test_jet_matches_full_hessian(flux, nspins, orbital, ndets):
             atol=2e-3,
             err_msg=key,
         )
-    assert np.all(np.isnan(np.asarray(obs_fast["angular_momentum_square"])))
+
+    # With the L^2 observable off, the lean jet (one extra direction) reports NaN
+    # for L^2 and agrees on everything else.
+    lean_system = System(flux=flux, nspins=nspins, compute_l2=False)
+    lean = forward_laplacian_local_energy(model, lean_system)
+    el_lean, obs_lean = jax.jit(lean)(params, data)
+    np.testing.assert_allclose(np.asarray(el_lean), np.asarray(el_full), rtol=2e-3, atol=2e-3)
+    assert np.all(np.isnan(np.asarray(obs_lean["angular_momentum_square"])))
 
 
 def test_loss_dispatch_uses_fast_path():
