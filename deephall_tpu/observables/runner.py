@@ -88,6 +88,12 @@ def evaluate_observable(
         key, k_walk, k_eval = jax.random.split(key, 3)
         data, pmove = mcmc_step(params, data, k_walk, width)
         state = evaluate(params, k_eval, data, state)
+        # Sync every step: dispatch is async, and on tunnelled runtimes letting a
+        # deep backlog accumulate can wedge the final readback entirely (observed:
+        # a 100-step chain whose digest never returned). One sync costs ~27 ms —
+        # negligible against a ~1 s estimator step — and makes the progress log
+        # report completed (not merely queued) steps.
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
         if (i + 1) % max(1, steps // 10) == 0:
             logger.info("observable %s: step %d/%d", estimator_name, i + 1, steps)
     return est.digest(state, steps)
