@@ -6,10 +6,10 @@ batch 3360, KFAC, 10 MCMC steps/iter) using the same fused iteration block as th
 training driver (``lax.scan`` over iterations inside one dispatch), and prints ONE
 JSON line.
 
-Two pipelines are measured: the headline ``value`` uses the forward-Laplacian
-local energy (``system.compute_l2=false`` — energy/Lz/Lz^2 exact, the optional
-L^2 observable skipped), and ``l2_every_step_its_per_sec`` is the
-reference-parity mode that also computes L^2 each step via the full Hessian.
+Two modes are measured, both on the forward-Laplacian jet pipeline: the
+headline ``value`` has the optional L^2 observable off (energy/Lz/Lz^2 exact),
+and ``l2_every_step_its_per_sec`` is the reference-parity default that also
+computes L^2 each step via three extra jet directions.
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline`` is
 measured against this framework's round-1 first recorded value
@@ -84,12 +84,14 @@ def measure(compute_l2: bool) -> tuple[float, float]:
         state, key, pmoves, t, outs = block(state, key, pmoves, t, BLOCK)
     jax.block_until_ready(outs)
 
-    # Two measurement windows, best-of: the shared tunnel/device pool can stall a
-    # window by 2-4x right after fresh compiles or when another job touches the
-    # chip (see PERF_NOTES.md "Measurement pitfalls"); steady-state windows agree
-    # to 3 decimals.
-    best = 0.0
-    for _ in range(2):
+    # Median of three measurement windows: the shared tunnel/device pool can
+    # stall a window by 2-4x right after fresh compiles or when another job
+    # touches the chip (see PERF_NOTES.md "Measurement pitfalls"); the median
+    # tolerates one stalled window without the upward bias of best-of-N.
+    # Steady-state windows agree to 3 decimals. (Methodology: rounds 1-2 used
+    # single-window then best-of-2; see BASELINE.md.)
+    rates = []
+    for _ in range(3):
         start = time.perf_counter()
         for _ in range(MEASURE_BLOCKS):
             state, key, pmoves, t, outs = block(state, key, pmoves, t, BLOCK)
@@ -98,10 +100,10 @@ def measure(compute_l2: bool) -> tuple[float, float]:
         # runtimes).
         float(jax.device_get(outs[0]["energy"].real[-1]))
         elapsed = time.perf_counter() - start
-        best = max(best, BLOCK * MEASURE_BLOCKS / elapsed)
+        rates.append(BLOCK * MEASURE_BLOCKS / elapsed)
 
     stats, _ = outs
-    return best, float(stats["energy"].real[-1])
+    return sorted(rates)[1], float(stats["energy"].real[-1])
 
 
 def main() -> None:

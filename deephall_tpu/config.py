@@ -10,6 +10,7 @@ dataclasses + PyYAML so the framework has no OmegaConf dependency.
 from __future__ import annotations
 
 import enum
+import re
 import time
 import types
 from dataclasses import dataclass, field, fields, is_dataclass
@@ -114,6 +115,58 @@ def merge_dicts(base: dict, override: dict) -> dict:
     return out
 
 
+_INTERP_RE = re.compile(r"\$\{([^${}]+)\}")
+
+
+def resolve_interpolations(config: dict) -> dict:
+    """Resolve OmegaConf-style ``${path.to.key}`` references in a plain dict tree.
+
+    Reference configs go through ``OmegaConf.merge`` which supports value
+    interpolation (``/root/reference/deephall/train.py:202-205``); this gives the
+    plain-dict pipeline the same semantics for absolute-path interpolations: a
+    string that is exactly ``${a.b}`` is replaced by the referenced value (any
+    type), and ``${a.b}`` fragments inside a larger string are substituted
+    textually. Chained references resolve transitively. Anything this cannot
+    honour — unknown keys, reference cycles, or custom resolvers like
+    ``${oc.env:...}`` — raises ``ValueError`` instead of passing the literal
+    ``${...}`` string through to produce a silently different run.
+    """
+
+    def lookup(path: str, stack: tuple[str, ...]):
+        path = path.strip()
+        if ":" in path:
+            raise ValueError(
+                f"Unsupported OmegaConf resolver in interpolation '${{{path}}}': "
+                "only plain ${path.to.key} references are supported."
+            )
+        if path in stack:
+            chain = " -> ".join((*stack, path))
+            raise ValueError(f"Interpolation cycle: {chain}")
+        node: Any = config
+        for part in path.split("."):
+            if not isinstance(node, dict) or part not in node:
+                raise ValueError(f"Interpolation '${{{path}}}': key not found")
+            node = node[part]
+        return resolve(node, (*stack, path))
+
+    def resolve(value: Any, stack: tuple[str, ...]) -> Any:
+        if isinstance(value, dict):
+            return {k: resolve(v, stack) for k, v in value.items()}
+        if isinstance(value, list):
+            return [resolve(v, stack) for v in value]
+        if isinstance(value, str) and "${" in value:
+            full = _INTERP_RE.fullmatch(value)
+            if full:
+                return lookup(full.group(1), stack)
+            out = _INTERP_RE.sub(lambda m: str(lookup(m.group(1), stack)), value)
+            if "${" in out:
+                raise ValueError(f"Malformed interpolation in {value!r}")
+            return out
+        return value
+
+    return resolve(config, ())
+
+
 def dotlist_to_dict(dotlist: list[str]) -> dict:
     """Parse ``path.to.key=value`` pairs into a nested dict (values YAML-parsed)."""
     result: dict[str, Any] = {}
@@ -159,13 +212,17 @@ class System:
     interaction_type: InteractionType = InteractionType.coulomb
 
     compute_l2: bool = True
-    """Compute the L^2 observable each step (requires the full Hessian of log psi).
+    """Compute the L^2 observable each step.
 
-    TPU-native extension: when False (and ``l2_penalty == 0``), the local energy
-    switches to the forward-Laplacian pipeline — a single second-order forward
-    pass instead of 2N Hessian tangent sweeps — and ``L_square`` is logged as NaN.
-    Energy, Lz and Lz^2 are exact in both modes.  The reference always computes
-    L^2 (``hamiltonian.py:139-159``), which is the default here too.
+    On the Psiformer training path both settings use the forward-Laplacian jet
+    pipeline (no full Hessian anywhere): L^2 costs three extra jet directions
+    per walker (~15% throughput at N=6), not a Hessian. When False (and
+    ``l2_penalty == 0``) those directions are dropped and ``L_square`` is
+    logged as NaN; energy, Lz and Lz^2 are exact in both modes. The full
+    Hessian survives only on the per-config protocol path
+    (``hamiltonian.local_energy``) used by Laughlin inference and the netobs
+    closures. The reference always computes L^2
+    (``hamiltonian.py:139-159``), which is the default here too.
     """
 
 

@@ -194,14 +194,34 @@ def _split(z):
     return z, jnp.zeros_like(z)
 
 
+def _is_vector_rhs(a: jnp.ndarray, b: jnp.ndarray) -> bool:
+    """True iff ``b`` is a stack of vectors ``[*, n]`` matching ``a``'s batch dims.
+
+    An unbatched matrix RHS ``[n, k]`` paired with a batched ``a`` ``[*, n, n]``
+    has ``b.ndim == a.ndim - 1`` too; requiring ``b.shape[-1] == n`` rejects it
+    loudly instead of silently treating it as vectors (broadcast ``b`` to ``a``'s
+    batch shape explicitly in that case). The ``k == n`` corner stays ambiguous
+    by construction: ``b``'s batch dims must match ``a``'s.
+    """
+    if b.ndim != a.ndim - 1:
+        return False
+    if b.shape[-1] != a.shape[-1]:
+        raise ValueError(
+            f"solve: rhs shape {b.shape} is neither a vector stack matching "
+            f"a {a.shape} nor a matrix stack; broadcast b to a's batch shape."
+        )
+    return True
+
+
 @jax.custom_jvp
 def solve(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve ``a @ x = b`` for tiny matrices (TPU-safe, complex-capable, batched).
 
-    ``a``: [*, n, n]; ``b``: [*, n, k] or [*, n]. Leading axes are batch axes.
+    ``a``: [*, n, n]; ``b``: [*, n, k] or [*, n]. Leading axes are batch axes and
+    must match between ``a`` and ``b`` (see ``_is_vector_rhs``).
     Differentiable to any order via the custom JVP (the elimination is primal-only).
     """
-    vec = b.ndim == a.ndim - 1
+    vec = _is_vector_rhs(a, b)
     b2 = b[..., None] if vec else b
     if jnp.iscomplexobj(a) or jnp.iscomplexobj(b):
         ar, ai = _split(a)
@@ -220,7 +240,7 @@ def _solve_jvp(primals, tangents):
     a, b = primals
     da, db = tangents
     x = solve(a, b)
-    if b.ndim == a.ndim - 1:
+    if _is_vector_rhs(a, b):
         dx = solve(a, db - jnp.einsum("...ij,...j->...i", da, x))
     else:
         dx = solve(a, db - da @ x)

@@ -41,6 +41,10 @@ def initialize_distributed() -> None:
     single-process pmap only (``/root/reference/deephall/constants.py:29-41``);
     here multi-host falls out of the global-mesh design once the processes
     rendezvous: collectives ride ICI within a slice and DCN across slices.
+    Demonstrated end-to-end by ``tests/test_distributed.py``: a 2-process
+    training loop with checkpoint save (cross-process ``process_allgather``),
+    restart/resume, and bit-exact global statistics against a single-process
+    run on the same 2-device mesh.
     """
     if jax.distributed.is_initialized():
         return

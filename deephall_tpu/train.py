@@ -37,6 +37,7 @@ from deephall_tpu.config import (
     OptimizerName,
     dotlist_to_dict,
     merge_dicts,
+    resolve_interpolations,
     to_dict,
 )
 from deephall_tpu.log import CheckpointState, LogManager, init_logging
@@ -311,6 +312,7 @@ def cli(argv: list[str] | None = None) -> None:
         with open(args.yml, encoding="utf8") as f:
             config = merge_dicts(config, yaml.safe_load(f) or {})
     config = merge_dicts(config, dotlist_to_dict(args.dotlist))
+    config = resolve_interpolations(config)
     train(Config.from_dict(config))
 
 

@@ -190,3 +190,51 @@ def test_device_axis_folding(manager):
         )
     _, restored, _ = LogManager.restore_checkpoint(str(path))
     assert restored.data.shape == (16, 3, 2)
+
+
+def test_fsspec_memory_roundtrip():
+    """Full artifact cycle through the AnyPath URL branch (log.py fsspec paths).
+
+    Exercises the remote-checkpointing capability (reference parity:
+    UPath-everywhere, /root/reference/deephall/log.py:180-216) end-to-end on the
+    fsspec 'memory://' filesystem: run-dir creation, config.yml audit write,
+    CSV stats append + force_flush, checkpoint save, newest-first glob restore.
+    """
+    import fsspec
+
+    from deephall_tpu.log import AnyPath
+
+    fs = fsspec.filesystem("memory")
+    url = "memory://deephall_test_run"
+    try:
+        cfg = Config()
+        cfg.log.save_path = url
+        mgr = LogManager(cfg)
+
+        # config.yml audit file went through the URL branch.
+        assert (AnyPath(url) / "config.yml").is_file()
+        with (AnyPath(url) / "config.yml").open() as f:
+            assert "flux: 2" in f.read()
+
+        # CSV writer: header, append, force_flush (close/reopen "a" on fsspec).
+        with mgr.create_writer() as writer:
+            writer.log(step="0", energy="1.5")
+            writer.force_flush()
+            writer.log(step="1", energy="1.4")
+        with (AnyPath(url) / "train_stats.csv").open() as f:
+            assert f.read().splitlines() == ["step,energy", "0,1.5", "1,1.4"]
+
+        # Checkpoints: save two, restore picks the newest, contents intact.
+        mgr.save_checkpoint(7, _state())
+        mgr.save_checkpoint(12, _state())
+        step, state, adapt = mgr.try_restore_checkpoint()
+        assert step == 13
+        assert np.allclose(
+            state.params["params"]["Dense_0"]["kernel"], np.ones((3, 4))
+        )
+        assert state.data.shape == (16, 3, 2)
+        assert float(state.mcmc_width) == pytest.approx(0.123)
+        assert adapt == {}
+    finally:
+        if fs.exists("/deephall_test_run"):
+            fs.rm("/deephall_test_run", recursive=True)

@@ -63,3 +63,49 @@ def test_lr_schedule():
     sched = cfg.optim.kfac.lr
     assert sched.schedule(0) == 0.05
     assert sched.schedule(2000) == 0.025
+
+
+def test_yaml_interpolation():
+    """OmegaConf-style ${path} references resolve against the merged tree.
+
+    Reference configs may use value interpolation (OmegaConf merge at
+    /root/reference/deephall/train.py:202-205); the plain-dict pipeline must
+    honour it rather than pass literal '${...}' strings through.
+    """
+    from deephall_tpu.config import resolve_interpolations
+
+    base = to_dict(Config())
+    override = yaml.safe_load(
+        """
+        system:
+          flux: 15
+        log:
+          save_path: runs/flux_${system.flux}
+          restore_path: ${log.save_path}
+        """
+    )
+    cfg = Config.from_dict(resolve_interpolations(merge_dicts(base, override)))
+    assert cfg.log.save_path == "runs/flux_15"
+    assert cfg.log.restore_path == "runs/flux_15"  # chained, non-string target ok
+
+
+def test_yaml_interpolation_whole_value_keeps_type():
+    from deephall_tpu.config import resolve_interpolations
+
+    d = {"a": 3360, "b": "${a}", "c": {"d": "${ a }"}}
+    out = resolve_interpolations(d)
+    assert out["b"] == 3360 and isinstance(out["b"], int)
+    assert out["c"]["d"] == 3360
+
+
+def test_yaml_interpolation_errors():
+    import pytest
+
+    from deephall_tpu.config import resolve_interpolations
+
+    with pytest.raises(ValueError, match="key not found"):
+        resolve_interpolations({"a": "${missing.key}"})
+    with pytest.raises(ValueError, match="resolver"):
+        resolve_interpolations({"a": "${oc.env:HOME}"})
+    with pytest.raises(ValueError, match="cycle"):
+        resolve_interpolations({"a": "${b}", "b": "${a}"})

@@ -76,3 +76,120 @@ def test_two_process_rendezvous(tmp_path: Path):
     for rc, out, err in outs:
         assert rc == 0, f"child failed rc={rc}\nstdout={out}\nstderr={err}"
         assert "DISTRIBUTED_OK" in out
+
+
+TRAIN_CHILD = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+from deephall_tpu.config import Config
+from deephall_tpu.train import train
+
+cfg = Config()
+cfg.seed = 7
+cfg.batch_size = 64
+cfg.system.nspins = (3, 0)
+cfg.system.flux = 2
+cfg.system.interaction_strength = 0.0
+cfg.network.psiformer.num_layers = 1
+cfg.network.psiformer.num_heads = 1
+cfg.network.psiformer.heads_dim = 4
+cfg.mcmc.burn_in = 5
+cfg.mcmc.steps = 2
+cfg.optim.iterations = {iters}
+cfg.optim.block_size = 3
+cfg.log.initial_energy = False
+cfg.log.save_path = {save!r}
+train(cfg)
+print("TRAIN_DONE", jax.process_index(), jax.process_count(), flush=True)
+"""
+
+
+def _spawn(script: Path, n_proc: int, port: int, extra_env=None):
+    """Launch n_proc CPU processes running ``script``; return completed outputs."""
+    procs = []
+    for pid in range(n_proc):
+        env = dict(os.environ)
+        env.pop("PALLAS_AXON_POOL_IPS", None)
+        env.update(JAX_PLATFORMS="cpu", **(extra_env or {}))
+        if n_proc > 1:
+            env.update(
+                JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                JAX_NUM_PROCESSES=str(n_proc),
+                JAX_PROCESS_ID=str(pid),
+            )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [(p.returncode, *p.communicate(timeout=600)) for p in procs]
+    outs = [(p.returncode, o, e) for p, (_, o, e) in zip(procs, outs)]
+    for rc, out, err in outs:
+        assert rc == 0, f"child failed rc={rc}\nstdout={out}\nstderr={err}"
+    return outs
+
+
+def _energies(csv_path: Path) -> list[float]:
+    lines = csv_path.read_text().splitlines()
+    head = lines[0].split(",")
+    col = head.index("energy")
+    return [float(line.split(",")[col]) for line in lines[1:]]
+
+
+def test_two_process_training_end_to_end(tmp_path: Path):
+    """Full multi-host training loop: train, checkpoint, resume, single-host parity.
+
+    Drives the exact code that a one-chip bench cannot: the cross-process
+    checkpoint gather (``log.process_allgather`` on walker-sharded data), the
+    process-0-only artifact ownership, and the restore placement of host arrays
+    onto a 2-process sharding (``train.py`` device_put of restored state). The
+    single-process run on a 2-virtual-device mesh must produce the same global
+    statistics: SPMD programs are process-layout independent.
+    """
+    import numpy as np
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = str(Path(__file__).resolve().parent.parent)
+
+    # Phase 1: two processes, 6 iterations, checkpoint written at the end.
+    save2 = tmp_path / "two_proc"
+    script = tmp_path / "train6.py"
+    script.write_text(TRAIN_CHILD.format(repo=repo, iters=6, save=str(save2)))
+    outs = _spawn(script, 2, port)
+    assert all("TRAIN_DONE" in out for _, out, _ in outs)
+    assert (save2 / "ckpt_000005.npz").exists()
+    assert (save2 / "train_stats.csv").exists()
+    # Only process 0 owns artifacts; the directory holds exactly one run's files.
+    with np.load(save2 / "ckpt_000005.npz", allow_pickle=True) as f:
+        # The gathered checkpoint holds the FULL global batch, not one host's shard.
+        assert f["data"].shape == (64, 3, 2)
+
+    # Phase 2: restart with more iterations; both processes restore from the
+    # checkpoint (cross-process device_put) and continue to 12.
+    script2 = tmp_path / "train12.py"
+    script2.write_text(TRAIN_CHILD.format(repo=repo, iters=12, save=str(save2)))
+    outs = _spawn(script2, 2, port + 1)
+    assert all("TRAIN_DONE" in out for _, out, _ in outs)
+    assert any("Restored checkpoint" in err for _, _, err in outs)
+    assert (save2 / "ckpt_000011.npz").exists()
+    energies2 = _energies(save2 / "train_stats.csv")
+    assert len(energies2) == 12
+
+    # Phase 3: single process, two virtual devices, same seed, 6 iterations
+    # straight through. Global statistics must agree with the 2-process run.
+    save1 = tmp_path / "one_proc"
+    script3 = tmp_path / "train_single.py"
+    script3.write_text(TRAIN_CHILD.format(repo=repo, iters=6, save=str(save1)))
+    _spawn(
+        script3, 1, 0,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+    )
+    energies1 = _energies(save1 / "train_stats.csv")
+    np.testing.assert_allclose(energies1, energies2[:6], rtol=1e-5, atol=1e-5)
