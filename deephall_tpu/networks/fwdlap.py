@@ -15,6 +15,7 @@ scalar Jastrow jet is simply added after the determinant.
 from __future__ import annotations
 
 import math
+import os
 
 import jax
 import numpy as np
@@ -58,12 +59,22 @@ def _layernorm(p: dict, t: Jet, eps: float = 1e-5) -> Jet:
     return fwdlap.linear(lambda v: v * p["scale"], x_hat, bias=p["bias"])
 
 
+# Jet attention lowering: "vpu" keeps the standard channel-leading layout
+# (tiny spatial axes in the lanes); "bm" relayouts q/k/v to batch-minor so the
+# softmax chain and both contractions run with the walker batch in the 128-wide
+# lanes and the jet channels in the sublanes.  Overridable for benchmarking.
+JET_ATTENTION_IMPL = os.environ.get("DEEPHALL_JET_ATTENTION_IMPL", "bm")
+
+
 def _attention(p: dict, num_heads: int, t: Jet) -> Jet:
     head_dim = t.x.shape[-1] // num_heads
     q = _dense_general_last(p["query"], t)
     k = _dense_general_last(p["key"], t)
     v = _dense_general_last(p["value"], t)
     q = fwdlap.linear(lambda z: z / jnp.sqrt(head_dim).astype(z.dtype), q)
+
+    if JET_ATTENTION_IMPL == "bm" and t.x.ndim >= 3:
+        return _attention_tail_bm(p, q, k, v)
 
     # [..., T, H, d] x [..., S, H, d] -> [..., T, S, H] (VPU-friendly contraction,
     # matching blocks.MultiHeadAttention's "vpu" lowering).
@@ -87,6 +98,40 @@ def _attention(p: dict, num_heads: int, t: Jet) -> Jet:
     return fwdlap.linear(
         lambda z: jnp.tensordot(z, kernel, axes=[[-2, -1], [0, 1]]),
         attn,
+        bias=p["out"]["bias"],
+    )
+
+
+def _attention_tail_bm(p: dict, q: Jet, k: Jet, v: Jet) -> Jet:
+    """Scaled-dot-product attention jet in the batch-minor layout.
+
+    All tensors between the q/k/v projections and the output projection carry
+    ``[spatial..., channel, walkers]`` with the walker batch in the TPU lanes:
+    the ``[T, S, H]`` softmax chain — 4 of 128 lanes in the standard layout —
+    runs fully vectorised (see ``ops.fwdlap.BMJet``).
+    """
+    qb, batch_shape = fwdlap.to_bm(q, 3)  # [T, H, dh, c, B]
+    kb, _ = fwdlap.to_bm(k, 3)
+    vb, _ = fwdlap.to_bm(v, 3)
+
+    # [T, H, dh, c, B] x [S, H, dh, c, B] -> [T, S, H, c, B]
+    logits = fwdlap.bm_bilinear(
+        lambda a, b: jnp.sum(a[:, None] * b[None], axis=-3), qb, kb
+    )
+    c0 = jnp.max(logits.x, axis=1, keepdims=True)  # constant at the lin. point
+    e = fwdlap.bm_elementwise(jnp.exp, fwdlap.bm_shift(logits, -c0))
+    s = fwdlap.bm_linear(lambda z: jnp.sum(z, axis=1, keepdims=True), e)
+    r = fwdlap.bm_elementwise(jnp.reciprocal, s)
+    w = fwdlap.bm_bilinear(lambda a, b: a * b, e, r)
+    # [T, S, H, c, B] x [S, H, dh, c, B] -> [T, H, dh, c, B]
+    attn = fwdlap.bm_bilinear(
+        lambda a, b: jnp.sum(a[..., None, :, :] * b[None], axis=1), w, vb
+    )
+    attn_std = fwdlap.from_bm(attn, batch_shape)  # [*B, T, H, dh]
+    kernel = p["out"]["kernel"]
+    return fwdlap.linear(
+        lambda z: jnp.tensordot(z, kernel, axes=[[-2, -1], [0, 1]]),
+        attn_std,
         bias=p["out"]["bias"],
     )
 

@@ -214,6 +214,120 @@ def electron_seeds(data: jnp.ndarray, compute_l2: bool = False) -> jnp.ndarray:
     return jnp.concatenate(seeds, axis=0)
 
 
+class BMJet(NamedTuple):
+    """Batch-minor jet: spatial axes lead, channels at ``-2``, walkers last.
+
+    TPU maps the two minor axes of every materialised buffer to (8 sublanes,
+    128 lanes).  The standard :class:`Jet` layout puts tiny spatial axes minor
+    (e.g. the ``[..., T, S, H]`` attention logits with ``H = 4`` use 4 of 128
+    lanes, and every pointwise op in the softmax chain pads 32x), while this
+    layout keeps the thousands-wide walker batch in the lanes and the jet
+    channels in the sublanes — both saturated at production shapes.
+
+    ``x`` and ``l`` carry a singleton channel axis so that every field has the
+    same rank and rules can index spatial axes positively:
+
+    * ``x``: ``[*S, 1, B]``, ``j``: ``[*S, K+E, B]``,
+      ``l``: ``[*S, 1, B]``, ``d``: ``[*S, E, B]``.
+    """
+
+    x: jnp.ndarray
+    j: jnp.ndarray
+    l: jnp.ndarray
+    d: jnp.ndarray
+
+    @property
+    def extras(self) -> int:
+        return self.d.shape[-2]
+
+    @property
+    def j_lap(self) -> jnp.ndarray:
+        return self.j[..., : self.j.shape[-2] - self.extras, :]
+
+    @property
+    def j_extra(self) -> jnp.ndarray:
+        return self.j[..., self.j.shape[-2] - self.extras :, :]
+
+
+def to_bm(t: Jet, n_spatial: int) -> tuple[BMJet, tuple[int, ...]]:
+    """Relayout a standard jet to batch-minor over its last ``n_spatial`` axes.
+
+    Returns the :class:`BMJet` plus the original batch shape for :func:`from_bm`.
+    """
+    batch_shape = t.x.shape[: t.x.ndim - n_spatial]
+    b = 1
+    for s in batch_shape:
+        b *= s
+
+    def cvt(a):  # [*B, *S] -> [*S, 1, B]
+        a = a.reshape(b, *a.shape[len(batch_shape) :])
+        return jnp.moveaxis(a, 0, -1)[..., None, :]
+
+    def cvt_ch(a):  # [C, *B, *S] -> [*S, C, B]
+        a = a.reshape(a.shape[0], b, *a.shape[1 + len(batch_shape) :])
+        return jnp.moveaxis(a, (0, 1), (-2, -1))
+
+    return BMJet(cvt(t.x), cvt_ch(t.j), cvt(t.l), cvt_ch(t.d)), batch_shape
+
+
+def from_bm(t: BMJet, batch_shape: tuple[int, ...]) -> Jet:
+    """Inverse of :func:`to_bm`."""
+
+    def cvt(a):  # [*S, 1, B] -> [*B, *S]
+        a = jnp.moveaxis(a[..., 0, :], -1, 0)
+        return a.reshape(*batch_shape, *a.shape[1:])
+
+    def cvt_ch(a):  # [*S, C, B] -> [C, *B, *S]
+        a = jnp.moveaxis(a, (-2, -1), (0, 1))
+        return a.reshape(a.shape[0], *batch_shape, *a.shape[2:])
+
+    return Jet(cvt(t.x), cvt_ch(t.j), cvt(t.l), cvt_ch(t.d))
+
+
+def bm_shift(t: BMJet, c: jnp.ndarray) -> BMJet:
+    """BM jet of ``x + c`` for a constant ``c``."""
+    return BMJet(t.x + c, t.j, t.l, t.d)
+
+
+def bm_linear(f: Callable[[jnp.ndarray], jnp.ndarray], t: BMJet) -> BMJet:
+    """BM jet of a linear map; ``f`` must act on the leading spatial axes only.
+
+    Because ``x``/``l`` carry a singleton channel axis, every field has the same
+    rank and ``f`` may index axes positively (e.g. ``sum(axis=1)``).
+    """
+    return BMJet(f(t.x), f(t.j), f(t.l), f(t.d))
+
+
+def bm_elementwise(f: Callable[[jnp.ndarray], jnp.ndarray], t: BMJet) -> BMJet:
+    """BM jet of a pointwise function (same nested-``jvp`` rule as `elementwise`)."""
+    ones = jnp.ones_like(t.x)
+    x = f(t.x)
+    _, f1 = jax.jvp(f, (t.x,), (ones,))
+    _, f2 = jax.jvp(
+        lambda y: jax.jvp(f, (y,), (jnp.ones_like(y),))[1], (t.x,), (ones,)
+    )
+    jsq = jnp.sum(jnp.square(t.j_lap), axis=-2, keepdims=True)
+    return BMJet(
+        x,
+        f1 * t.j,
+        f1 * t.l + f2 * jsq,
+        f1 * t.d + f2 * jnp.square(t.j_extra),
+    )
+
+
+def bm_bilinear(
+    f: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray], a: BMJet, b: BMJet
+) -> BMJet:
+    """BM jet of a bilinear contraction; ``f`` must preserve the trailing
+    ``[channel, walker]`` axes (contract/broadcast spatial axes only)."""
+    x = f(a.x, b.x)
+    j = f(a.j, b.x) + f(a.x, b.j)
+    cross = f(a.j_lap, b.j_lap)
+    l = f(a.l, b.x) + f(a.x, b.l) + 2 * jnp.sum(cross, axis=-2, keepdims=True)
+    d = f(a.d, b.x) + f(a.x, b.d) + 2 * f(a.j_extra, b.j_extra)
+    return BMJet(x, j, l, d)
+
+
 def logsumdet_jet(t: Jet) -> Jet:
     """Jet of ``log sum_d det(Phi_d)`` from the jet of the orbital matrices.
 

@@ -109,3 +109,31 @@ def test_loss_dispatch_uses_fast_path():
     flat_full = jax.tree_util.tree_leaves(grads_full)
     for a, b in zip(flat_fast, flat_full):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-4)
+
+
+def test_bm_jet_matches_vpu_jet(monkeypatch):
+    """The batch-minor jet attention is a pure relayout: all four jet channels
+    must match the channel-leading ("vpu") lowering to float tolerance."""
+    import deephall_tpu.networks.fwdlap as nf
+
+    system = System(flux=4, nspins=(2, 1))
+    network = Network(
+        type=NetworkType.psiformer,
+        psiformer=PsiformerNetwork(num_heads=2, heads_dim=8, num_layers=2, determinants=2),
+    )
+    model = make_network(system, network)
+    data = random_walkers(jax.random.PRNGKey(5), 8, 3)
+    params = model.init(jax.random.PRNGKey(6), data[0])
+
+    monkeypatch.setattr(nf, "JET_ATTENTION_IMPL", "vpu")
+    ref = jax.jit(lambda p, d: psiformer_logpsi_jet(model, p, d, compute_l2=True))(
+        params, data
+    )
+    monkeypatch.setattr(nf, "JET_ATTENTION_IMPL", "bm")
+    bm = jax.jit(lambda p, d: psiformer_logpsi_jet(model, p, d, compute_l2=True))(
+        params, data
+    )
+    for name, a, b in zip("xjld", ref, bm):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
+        )
