@@ -65,6 +65,13 @@ def _layernorm(p: dict, t: Jet, eps: float = 1e-5) -> Jet:
 # lanes and the jet channels in the sublanes.  Overridable for benchmarking.
 JET_ATTENTION_IMPL = os.environ.get("DEEPHALL_JET_ATTENTION_IMPL", "bm")
 
+# Jet tower layout: "std" keeps channel-leading activations with per-attention
+# relayouts (JET_ATTENTION_IMPL above); "fullbm" runs the whole tower — dense
+# layers, layernorms, attention, orbital/envelope contraction — in the
+# batch-minor layout, relaying out once at the input features and once at the
+# determinant.  A/B measured on hardware (PERF_NOTES round 3).
+JET_TOWER_IMPL = os.environ.get("DEEPHALL_JET_TOWER_IMPL", "std")
+
 
 def _attention(p: dict, num_heads: int, t: Jet) -> Jet:
     head_dim = t.x.shape[-1] // num_heads
@@ -136,6 +143,151 @@ def _attention_tail_bm(p: dict, q: Jet, k: Jet, v: Jet) -> Jet:
     )
 
 
+def _dense_bm(p: dict, t, use_bias: bool = True):
+    """Dense layer in the batch-minor layout: feature axis at ``-3``.
+
+    The contraction is one MXU matmul with ``(spatial..., channel, walker)`` as
+    the free rows; XLA's layout assignment sees a consistent batch-minor graph.
+    """
+    kernel = p["kernel"]
+    kernel = kernel.reshape(kernel.shape[0], -1)  # fold multi-feature heads
+    if jnp.iscomplexobj(t.x):
+        kernel = kernel.astype(t.x.dtype)
+    out = fwdlap.bm_linear(
+        lambda z: jnp.einsum("...dcb,de->...ecb", z, kernel), t
+    )
+    if use_bias and "bias" in p:
+        bias = p["bias"].reshape(-1)
+        out = fwdlap.bm_shift(out, bias[:, None, None])
+    return out
+
+
+def _layernorm_bm(p: dict, t, eps: float = 1e-5):
+    mean = fwdlap.bm_linear(lambda v: jnp.mean(v, axis=-3, keepdims=True), t)
+    xc = fwdlap.BMJet(t.x - mean.x, t.j - mean.j, t.l - mean.l, t.d - mean.d)
+    var = fwdlap.bm_linear(
+        lambda v: jnp.mean(v, axis=-3, keepdims=True),
+        fwdlap.bm_elementwise(jnp.square, xc),
+    )
+    rs = fwdlap.bm_elementwise(lambda v: jax.lax.rsqrt(v + eps), var)
+    x_hat = fwdlap.bm_bilinear(lambda a, b: a * b, xc, rs)
+    scaled = fwdlap.bm_linear(lambda v: v * p["scale"][:, None, None], x_hat)
+    return fwdlap.bm_shift(scaled, p["bias"][:, None, None])
+
+
+def _attention_bm_full(p: dict, num_heads: int, t):
+    """Attention entirely in the batch-minor layout (input ``[T, D, c, B]``)."""
+    features = t.x.shape[-3]
+    head_dim = features // num_heads
+
+    def heads(dense_out):
+        return fwdlap.bm_linear(
+            lambda z: z.reshape(*z.shape[:-3], num_heads, head_dim, *z.shape[-2:]),
+            dense_out,
+        )
+
+    q = heads(_dense_bm(p["query"], t))  # [T, H, dh, c, B]
+    k = heads(_dense_bm(p["key"], t))
+    v = heads(_dense_bm(p["value"], t))
+    q = fwdlap.bm_linear(lambda z: z / jnp.sqrt(head_dim).astype(z.dtype), q)
+
+    logits = fwdlap.bm_bilinear(
+        lambda a, b: jnp.sum(a[:, None] * b[None], axis=-3), q, k
+    )  # [T, S, H, c, B]
+    c0 = jnp.max(logits.x, axis=1, keepdims=True)
+    e = fwdlap.bm_elementwise(jnp.exp, fwdlap.bm_shift(logits, -c0))
+    s = fwdlap.bm_linear(lambda z: jnp.sum(z, axis=1, keepdims=True), e)
+    r = fwdlap.bm_elementwise(jnp.reciprocal, s)
+    w = fwdlap.bm_bilinear(lambda a, b: a * b, e, r)
+    attn = fwdlap.bm_bilinear(
+        lambda a, b: jnp.sum(a[..., None, :, :] * b[None], axis=1), w, v
+    )  # [T, H, dh, c, B]
+
+    kernel = p["out"]["kernel"].reshape(num_heads * head_dim, -1)
+    folded = fwdlap.bm_linear(
+        lambda z: z.reshape(*z.shape[:-4], num_heads * head_dim, *z.shape[-2:]),
+        attn,
+    )
+    out = fwdlap.bm_linear(
+        lambda z: jnp.einsum("...dcb,de->...ecb", z, kernel), folded
+    )
+    return fwdlap.bm_shift(out, p["out"]["bias"][:, None, None])
+
+
+def _tower_fullbm(model, p: dict, h0: Jet, env: Jet, nspins) -> Jet:
+    """Psiformer tower + orbital construction in the batch-minor layout.
+
+    Takes the input-feature jet ``h0`` (standard layout, ``[*B, N, 4]``) and the
+    envelope jet ``env`` (``[*B, N, n_orb]`` complex), relayouts each once, runs
+    the full tower batch-minor, and returns the orbital-matrix jet in the
+    standard layout expected by :func:`fwdlap.logsumdet_jet`.
+    """
+    tower = p["PsiformerLayers_0"]
+    h, batch_shape = fwdlap.to_bm(h0, 2)  # [N, 4, c, B]
+    h = _dense_bm(tower["Dense_0"], h, use_bias=False)
+    for i in range(model.num_layers):
+        attn = _attention_bm_full(tower[f"MultiHeadAttention_{i}"], model.num_heads, h)
+        proj = _dense_bm(tower[f"Dense_{2 * i + 1}"], attn, use_bias=False)
+        h = fwdlap.BMJet(h.x + proj.x, h.j + proj.j, h.l + proj.l, h.d + proj.d)
+        h = _layernorm_bm(tower[f"LayerNorm_{2 * i}"], h)
+        mlp = fwdlap.bm_elementwise(jnp.tanh, _dense_bm(tower[f"Dense_{2 * i + 2}"], h))
+        h = fwdlap.BMJet(h.x + mlp.x, h.j + mlp.j, h.l + mlp.l, h.d + mlp.d)
+        h = _layernorm_bm(tower[f"LayerNorm_{2 * i + 1}"], h)
+
+    # Spin-sector complex orbital projections; sectors concatenate along the
+    # electron axis (leading spatial axis in this layout).
+    orb_params = p["Orbitals_0"]["featured_orbitals"]
+    sectors = []
+    bounds = [(0, nspins[0]), (nspins[0], nspins[0] + nspins[1])]
+    index = 0
+    for lo, hi in bounds:
+        if hi == lo:
+            continue
+        wr = orb_params[f"DenseGeneral_{index}"]
+        wi = orb_params[f"DenseGeneral_{index + 1}"]
+        index += 2
+        kernel = (wr["kernel"] + 1j * wi["kernel"]).reshape(wr["kernel"].shape[0], -1)
+        bias = (wr["bias"] + 1j * wi["bias"]).reshape(-1)
+        h_alpha = fwdlap.bm_linear(lambda v, lo=lo, hi=hi: v[lo:hi], h)
+        sector = fwdlap.bm_linear(
+            lambda v, kernel=kernel: jnp.einsum(
+                "...dcb,de->...ecb", v.astype(kernel.dtype), kernel
+            ),
+            h_alpha,
+        )
+        sector = fwdlap.bm_shift(sector, bias[:, None, None])
+        feat_shape = wr["kernel"].shape[1:]  # (F, ne, nd) or (8, ne, nd)
+        sector = fwdlap.bm_linear(
+            lambda z, fs=feat_shape: z.reshape(*z.shape[:-3], *fs, *z.shape[-2:]),
+            sector,
+        )
+        sectors.append(sector)  # [N_s, F, ne, nd, c, B]
+    if len(sectors) == 1:
+        orbitals = sectors[0]
+    else:
+        orbitals = fwdlap.BMJet(
+            *(jnp.concatenate(parts, axis=0) for parts in zip(*sectors))
+        )
+
+    if model.orbital_type == OrbitalType.sparse:
+        lll = p["Orbitals_0"]["lll_weight"]
+        kernel = lll["kernel"].astype(orbitals.x.dtype)
+        orbitals = fwdlap.bm_linear(
+            lambda z: jnp.einsum("nfedcb,fo->noedcb", z, kernel), orbitals
+        )
+        if "bias" in lll:
+            orbitals = fwdlap.bm_shift(
+                orbitals, lll["bias"][:, None, None, None, None]
+            )
+
+    env_bm, _ = fwdlap.to_bm(env, 2)  # [N, n_orb, c, B]
+    phi_bm = fwdlap.bm_bilinear(
+        lambda o, e: jnp.sum(o * e[:, :, None, None], axis=1), orbitals, env_bm
+    )  # [N, ne, nd, c, B]
+    contracted = fwdlap.from_bm(phi_bm, batch_shape)  # [*B, N, ne, nd]
+    return fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), contracted)
+
+
 def _featured_orbitals(p: dict, t: Jet, nspins: tuple[int, int]) -> Jet:
     sectors = []
     bounds = [(0, nspins[0]), (nspins[0], nspins[0] + nspins[1])]
@@ -196,31 +348,7 @@ def psiformer_logpsi_jet(
             axis=-1,
         )
 
-    tower = p["PsiformerLayers_0"]
-    h = _dense(
-        tower["Dense_0"], fwdlap.jet_of_fn(input_feature, data, seeds, extras), use_bias=False
-    )
-    for i in range(model.num_layers):
-        attn = _attention(tower[f"MultiHeadAttention_{i}"], model.num_heads, h)
-        h = fwdlap.add(h, _dense(tower[f"Dense_{2 * i + 1}"], attn, use_bias=False))
-        h = _layernorm(tower[f"LayerNorm_{2 * i}"], h)
-        h = fwdlap.add(h, fwdlap.elementwise(jnp.tanh, _dense(tower[f"Dense_{2 * i + 2}"], h)))
-        h = _layernorm(tower[f"LayerNorm_{2 * i + 1}"], h)
-
-    orb_params = p["Orbitals_0"]["featured_orbitals"]
-    orbitals = _featured_orbitals(orb_params, h, model.nspins)  # [*B, N, F, ne, nd]
-
     n_orb = int(2 * model.Q) + 1
-    if model.orbital_type == OrbitalType.sparse:
-        lll = p["Orbitals_0"]["lll_weight"]
-        kernel = lll["kernel"].astype(orbitals.x.dtype)
-        orbitals = fwdlap.linear(
-            lambda v: jnp.tensordot(v, kernel, axes=[[-3], [0]]),
-            orbitals,
-            bias=lll.get("bias"),
-        )  # [*B, N, ne, nd, n_orb]
-        orbitals = fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), orbitals)
-
     norm_factor = jnp.asarray(
         np.sqrt([math.comb(n_orb - 1, k) for k in range(n_orb)]), jnp.float32
     )
@@ -235,11 +363,40 @@ def psiformer_logpsi_jet(
             * v[..., None] ** (model.Q - m)
         )
 
+    h0 = fwdlap.jet_of_fn(input_feature, data, seeds, extras)
     env = fwdlap.jet_of_fn(envelope_fn, data, seeds, extras)  # [*B, N, n_orb] complex
-    contracted = fwdlap.bilinear(
-        lambda o, e: jnp.sum(o * e[..., None, None], axis=-3), orbitals, env
-    )
-    phi_jet = fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), contracted)
+
+    if JET_TOWER_IMPL == "fullbm" and data.ndim >= 3:
+        phi_jet = _tower_fullbm(model, p, h0, env, model.nspins)
+    else:
+        tower = p["PsiformerLayers_0"]
+        h = _dense(tower["Dense_0"], h0, use_bias=False)
+        for i in range(model.num_layers):
+            attn = _attention(tower[f"MultiHeadAttention_{i}"], model.num_heads, h)
+            h = fwdlap.add(h, _dense(tower[f"Dense_{2 * i + 1}"], attn, use_bias=False))
+            h = _layernorm(tower[f"LayerNorm_{2 * i}"], h)
+            h = fwdlap.add(
+                h, fwdlap.elementwise(jnp.tanh, _dense(tower[f"Dense_{2 * i + 2}"], h))
+            )
+            h = _layernorm(tower[f"LayerNorm_{2 * i + 1}"], h)
+
+        orb_params = p["Orbitals_0"]["featured_orbitals"]
+        orbitals = _featured_orbitals(orb_params, h, model.nspins)  # [*B, N, F, ne, nd]
+
+        if model.orbital_type == OrbitalType.sparse:
+            lll = p["Orbitals_0"]["lll_weight"]
+            kernel = lll["kernel"].astype(orbitals.x.dtype)
+            orbitals = fwdlap.linear(
+                lambda v: jnp.tensordot(v, kernel, axes=[[-3], [0]]),
+                orbitals,
+                bias=lll.get("bias"),
+            )  # [*B, N, ne, nd, n_orb]
+            orbitals = fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), orbitals)
+
+        contracted = fwdlap.bilinear(
+            lambda o, e: jnp.sum(o * e[..., None, None], axis=-3), orbitals, env
+        )
+        phi_jet = fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), contracted)
 
     n_up, n_down = model.nspins
 

@@ -137,3 +137,33 @@ def test_bm_jet_matches_vpu_jet(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
         )
+
+
+@pytest.mark.parametrize("flux,nspins,orbital,ndets", CASES)
+def test_fullbm_tower_matches_std(flux, nspins, orbital, ndets, monkeypatch):
+    """The full batch-minor tower is a pure relayout of the standard jet tower."""
+    import deephall_tpu.networks.fwdlap as nf
+
+    system = System(flux=flux, nspins=nspins)
+    network = Network(
+        type=NetworkType.psiformer,
+        orbital=orbital,
+        psiformer=PsiformerNetwork(num_heads=2, heads_dim=8, num_layers=2, determinants=ndets),
+    )
+    model = make_network(system, network)
+    data = random_walkers(jax.random.PRNGKey(7), 8, sum(nspins))
+    params = model.init(jax.random.PRNGKey(8), data[0])
+
+    monkeypatch.setattr(nf, "JET_TOWER_IMPL", "std")
+    ref = jax.jit(lambda p, d: psiformer_logpsi_jet(model, p, d, compute_l2=True))(
+        params, data
+    )
+    monkeypatch.setattr(nf, "JET_TOWER_IMPL", "fullbm")
+    bm = jax.jit(lambda p, d: psiformer_logpsi_jet(model, p, d, compute_l2=True))(
+        params, data
+    )
+    # 1e-4: the relayout changes f32 reduction order through ~500 chained ops.
+    for name, a, b in zip("xjld", ref, bm):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4, err_msg=name
+        )
