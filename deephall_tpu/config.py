@@ -215,8 +215,8 @@ class System:
     """Compute the L^2 observable each step.
 
     On the Psiformer training path both settings use the forward-Laplacian jet
-    pipeline (no full Hessian anywhere): L^2 costs three extra jet directions
-    per walker (~15% throughput at N=6), not a Hessian. When False (and
+    pipeline (no full Hessian anywhere): L^2 costs two extra jet directions
+    per walker (the third coincides with the Lz one), not a Hessian. When False (and
     ``l2_penalty == 0``) those directions are dropped and ``L_square`` is
     logged as NaN; energy, Lz and Lz^2 are exact in both modes. The full
     Hessian survives only on the per-config protocol path

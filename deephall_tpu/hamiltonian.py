@@ -207,8 +207,9 @@ def forward_laplacian_local_energy(model, system: System) -> LocalEnergy:
     ``hamiltonian.py:105-114``).
 
     When the ``L^2`` observable is requested (``system.compute_l2`` or an
-    ``l2_penalty``), three more jet directions are carried — one per Cartesian
-    component ``a`` of the total angular momentum.  Each ``L_a`` is a first-order
+    ``l2_penalty``), two more jet directions are carried — the x and y Cartesian
+    components of the total angular momentum (the z component's direction is
+    the Lz one already present).  Each ``L_a`` is a first-order
     differential operator, so the full-Hessian contraction of the reference
     (``hamiltonian.py:139-159``) collapses to directional second derivatives
     along per-walker constant seeds ``u_a`` plus first-order terms:
@@ -269,8 +270,11 @@ def forward_laplacian_local_energy(model, system: System) -> LocalEnergy:
                 [cos(phi) / tan_t, sin(phi) / tan_t, -jnp.ones_like(theta)]
             )
             mbar = jnp.sum(Q * (theta_hat_prime * cos(theta) + r_hat), axis=-1)
-            g_a = out.j_extra[1:]  # [3, *B] first derivatives along u_a
-            d2_a = out.d[1:]  # [3, *B] second derivatives along u_a
+            # u_z is the all-phi Lz direction (extra row 0): phihat_z = 0 and
+            # -thetahatprime_z = 1, so its channels are reused rather than
+            # carried twice (fwdlap.electron_seeds).  Order (x, y, z) = mbar's.
+            g_a = jnp.stack([out.j_extra[1], out.j_extra[2], out.j_extra[0]])
+            d2_a = jnp.stack([out.d[1], out.d[2], out.d[0]])
             l_square = (
                 jnp.sum(-d2_a - g_a**2 - 2j * mbar * g_a + mbar**2, axis=0)
                 - jnp.sum(g_theta / tan_t, axis=-1)

@@ -326,13 +326,14 @@ def psiformer_logpsi_jet(
         model: Psiformer hyperparameters.
         params: Parameter tree (flax auto-naming).
         data: ``[*B, N, 2]`` configurations.
-        compute_l2: Also carry the three L^2 directions (extras = 4 instead of 1).
+        compute_l2: Also carry the x/y L^2 directions (extras = 3 instead of 1;
+            the z direction coincides with the Lz one).
 
     Returns:
         Scalar-per-walker :class:`Jet` seeded with :func:`fwdlap.electron_seeds`.
     """
     p = params["params"] if "params" in params else params
-    extras = 4 if compute_l2 else 1
+    extras = 3 if compute_l2 else 1
     seeds = fwdlap.electron_seeds(data, compute_l2)
     spins = jnp.array([1] * model.nspins[0] + [-1] * model.nspins[1])
 

@@ -16,8 +16,8 @@ forward-over-reverse tangent passes, each of which re-traverses the network's
 backward graph.  This module instead propagates a **second-order jet** through a
 single forward pass (the forward-Laplacian technique of arXiv:2307.08214, rebuilt
 here for TPU): with ``K = 2N`` Laplacian directions and ``E`` extra directions
-(``E = 1`` for Lz^2 alone, ``E = 4`` with the three L^2 directions), every
-intermediate activation carries
+(``E = 1`` for Lz^2 alone, ``E = 3`` with the two extra L^2 directions — the
+z one coincides with the Lz direction), every intermediate activation carries
 
 * ``x``   — the primal value,
 * ``j``   — ``K+E`` directional first derivatives (the 2N coordinate directions,
@@ -177,17 +177,21 @@ def electron_seeds(data: jnp.ndarray, compute_l2: bool = False) -> jnp.ndarray:
     ``e_phi_i / sin(theta_i)`` (per-walker scaling, so the summed second
     derivative lands directly in the sphere metric).  Extra direction 0 is
     ``sum_i e_phi_i`` (unscaled), whose second derivative gives Lz^2.  With
-    ``compute_l2``, three more directions follow — one per Cartesian component
-    ``a`` of the total angular momentum, ``u_a[i] = (phihat_a(i), -thetahatprime_a(i))``
-    in (theta, phi) slots — whose second derivatives give the ``u_a^T H u_a``
-    quadratic forms of the L^2 contraction (see ``hamiltonian._assemble_observables``).
+    ``compute_l2``, two more directions follow — the x and y Cartesian
+    components of the total angular momentum,
+    ``u_a[i] = (phihat_a(i), -thetahatprime_a(i))`` in (theta, phi) slots —
+    whose second derivatives give the ``u_a^T H u_a`` quadratic forms of the
+    L^2 contraction (see ``hamiltonian.forward_laplacian_local_energy``).  The
+    z component needs no extra direction: ``phihat_z = 0`` and
+    ``-thetahatprime_z = 1`` make ``u_z`` exactly the all-phi Lz direction
+    already present as extra 0.
 
     Args:
         data: ``[*B, N, 2]`` electron configurations.
-        compute_l2: Append the three L^2 directions.
+        compute_l2: Append the two non-degenerate L^2 directions.
 
     Returns:
-        ``[2N+E, *B, N, 2]`` seed tangents (``E = 4`` with ``compute_l2`` else 1).
+        ``[2N+E, *B, N, 2]`` seed tangents (``E = 3`` with ``compute_l2`` else 1).
     """
     theta, phi = data[..., 0], data[..., 1]
     n = data.shape[-2]
@@ -200,17 +204,11 @@ def electron_seeds(data: jnp.ndarray, compute_l2: bool = False) -> jnp.ndarray:
     )
     seeds = [coord_seeds, u[None]]
     if compute_l2:
-        phi_hat = jnp.stack(
-            [-jnp.sin(phi), jnp.cos(phi), jnp.zeros_like(phi)]
-        )  # [3, *B, N]
+        phi_hat = jnp.stack([-jnp.sin(phi), jnp.cos(phi)])  # [2, *B, N]
         theta_hat_prime = jnp.stack(
-            [
-                jnp.cos(phi) / jnp.tan(theta),
-                jnp.sin(phi) / jnp.tan(theta),
-                -jnp.ones_like(theta),
-            ]
+            [jnp.cos(phi) / jnp.tan(theta), jnp.sin(phi) / jnp.tan(theta)]
         )
-        seeds.append(jnp.stack([phi_hat, -theta_hat_prime], axis=-1))  # [3, *B, N, 2]
+        seeds.append(jnp.stack([phi_hat, -theta_hat_prime], axis=-1))  # [2, *B, N, 2]
     return jnp.concatenate(seeds, axis=0)
 
 
