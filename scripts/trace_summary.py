@@ -31,22 +31,33 @@ def load_xspaces(root: str):
     return spaces
 
 
-# Rough functional-unit attribution by HLO opcode family.
-CATEGORY_PATTERNS = [
-    (re.compile(r"^(fusion|loop_fusion|input_fusion|output_fusion)"), "fusion"),
-    (re.compile(r"^(dot|convolution|cublas|custom-call.*gemm)"), "matmul"),
-    (re.compile(r"^(copy|transpose|bitcast|reshape)"), "copy/layout"),
-    (re.compile(r"^(all-reduce|all-gather|reduce-scatter|collective)"), "collective"),
-    (re.compile(r"^(dynamic-update-slice|dynamic-slice|gather|scatter)"), "slice"),
-    (re.compile(r"^(reduce|convert|select|broadcast|iota|compare|add|multiply)"), "vpu"),
-]
-
-
+# Rough functional-unit attribution by HLO op / fusion-kind name. XLA names
+# fusions after their root or most expensive op ("convolution_bitcast_fusion",
+# "multiply_reduce_fusion", "broadcast_subtract_fusion", ...), so substring
+# checks on the op name give a usable MXU-vs-VPU split.
 def categorise(name: str) -> str:
-    for pat, cat in CATEGORY_PATTERNS:
-        if pat.match(name):
-            return cat
+    if "convolution" in name or re.search(r"\bdot\b|gemm", name):
+        return "matmul (MXU)"
+    if "copy" in name or "transpose" in name or "reshape" in name or "bitcast" in name:
+        return "copy/layout"
+    if "all-reduce" in name or "all-gather" in name or "reduce-scatter" in name:
+        return "collective"
+    if "slice" in name or "gather" in name or "scatter" in name:
+        return "slice"
+    if "fusion" in name or any(
+        k in name
+        for k in ("multiply", "add", "subtract", "reduce", "exp", "rsqrt", "select",
+                  "broadcast", "compare", "divide", "maximum", "tanh", "log")
+    ):
+        return "vpu/elementwise"
     return "other"
+
+
+def op_name(full: str) -> str:
+    """Extract the bare op name from an HLO event label like '%fusion.8319 = ...'."""
+    m = re.match(r"%?([\w.-]+)", full)
+    base = m.group(1) if m else full
+    return re.sub(r"\.\d+$", "", base)
 
 
 def main() -> None:
@@ -63,6 +74,7 @@ def main() -> None:
 
     op_time: collections.Counter = collections.Counter()
     op_count: collections.Counter = collections.Counter()
+    async_time = 0.0
     plane_names = []
     for _, xs in load_xspaces(args.root):
         for plane in xs.planes:
@@ -73,19 +85,32 @@ def main() -> None:
             plane_names.append(plane.name)
             ev_meta = plane.event_metadata
             for line in plane.lines:
+                # "XLA Ops" is the exclusive sync-op timeline; "XLA Modules"/
+                # "Steps" are enclosing aggregates and "Async XLA Ops" carries
+                # DMA (copy/slice-start) that overlaps compute — summing either
+                # with the op line would double count.
+                if line.name == "Async XLA Ops":
+                    async_time += sum(ev.duration_ps / 1e9 for ev in line.events)
+                    continue
+                if line.name != "XLA Ops":
+                    continue
                 for ev in line.events:
                     name = ev_meta[ev.metadata_id].name
+                    # while/conditional events enclose their body ops, which
+                    # appear on the same line — skip the aggregates.
+                    if op_name(name).startswith(("while", "conditional")):
+                        continue
                     op_time[name] += ev.duration_ps / 1e9  # -> ms
                     op_count[name] += 1
 
     total = sum(op_time.values())
     print(f"planes: {sorted(set(plane_names))}")
-    print(f"total device op time: {total:.1f} ms")
+    print(f"total sync op time: {total:.1f} ms (overlapped async DMA: {async_time:.1f} ms)")
     if args.iters:
         print(f"per iteration ({args.iters} iters): {total / args.iters:.2f} ms")
     cat_time: collections.Counter = collections.Counter()
     for name, t in op_time.items():
-        cat_time[categorise(name)] += t
+        cat_time[categorise(op_name(name))] += t
     print("\nby category:")
     for cat, t in cat_time.most_common():
         print(f"  {cat:12s} {t:10.1f} ms  {100 * t / total:5.1f}%")
