@@ -24,8 +24,13 @@ from jax import numpy as jnp
 from deephall_tpu.config import OrbitalType
 from deephall_tpu.geometry import chord_distances, spinors
 from deephall_tpu.networks.psiformer import Psiformer
-from deephall_tpu.ops import fwdlap
+from deephall_tpu.ops import fwdlap, jet_layernorm
 from deephall_tpu.ops.fwdlap import Jet
+
+# LayerNorm-jet lowering: "fused" routes blockable f32 jets through the
+# single-pass Pallas kernel (ops/jet_layernorm.py); "chain" keeps the
+# primitive composition.  A/B'd on hardware — see PERF_NOTES round 3.
+JET_LAYERNORM_IMPL = os.environ.get("DEEPHALL_JET_LAYERNORM_IMPL", "chain")
 
 
 def _dense(p: dict, t: Jet, use_bias: bool = True) -> Jet:
@@ -48,6 +53,8 @@ def _dense_general_last(p: dict, t: Jet) -> Jet:
 
 
 def _layernorm(p: dict, t: Jet, eps: float = 1e-5) -> Jet:
+    if JET_LAYERNORM_IMPL == "fused" and jet_layernorm.supported(t):
+        return jet_layernorm.layernorm_jet(p, t, eps)
     mean = fwdlap.linear(lambda v: jnp.mean(v, axis=-1, keepdims=True), t)
     xc = Jet(t.x - mean.x, t.j - mean.j, t.l - mean.l, t.d - mean.d)
     var = fwdlap.linear(

@@ -1,0 +1,181 @@
+"""Fused single-pass LayerNorm over a forward-Laplacian jet (Pallas TPU kernel).
+
+The jet LayerNorm composed from :mod:`deephall_tpu.ops.fwdlap` primitives
+(``mean -> center -> square -> mean -> rsqrt -> bilinear mul -> scale``) is the
+largest HBM-traffic item in the training step: the round-3 profiler trace shows
+the four LayerNorm sites moving each ``[C, B, T, D]`` jet activation (~270 MB at
+production shapes) through ~4-5 memory passes of multi-output XLA fusions,
+~9 ms of the ~89 ms iteration (PERF_NOTES.md, "Measured roofline").  Arithmetic
+intensity is a few FLOP/byte, so the only lever is fewer passes.
+
+This kernel performs the whole jet LayerNorm in one pass: a block of rows with
+*all* jet channels (primal ``x``, tangents ``j``, Laplacian ``l``, extra second
+derivatives ``d``) resides in VMEM at once, every reduction (feature means,
+variance channels, the cross-channel sums of the second-order chain rule) runs
+on-core, and each element is read from and written to HBM exactly once.
+
+Algebra (identical to the primitive composition, pinned by
+``tests/test_jet_layernorm.py``): with per-row feature means subtracted from
+every channel (``xc, jc, lc, dc``), the variance jet is
+
+    var.x = E[xc^2]            var.j = 2 E[xc jc]
+    var.l = 2 E[xc lc] + 2 sum_k E[jlap_k^2]
+    var.d = 2 E[xc dc] + 2 E[jext^2]
+
+the ``rsqrt(var + eps)`` jet uses ``f1 = -rs^3/2``, ``f2 = 3 rs^5/4``, and the
+normalised output is the bilinear product ``xc * rs`` expanded channelwise.
+
+The reference computes LayerNorm through flax and ``jax.hessian`` sweeps
+(``/root/reference/deephall/networks/psiformer.py:77-90``); this fusion has no
+reference counterpart — it exists because the TPU jet tower is HBM-bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+from jax import numpy as jnp
+from jax.experimental import pallas as pl
+
+from deephall_tpu.ops.fwdlap import Jet
+
+# Row-block candidates, multiples of the f32 sublane tile (8).  VMEM per block is
+# ``2 * rows * D * 4 * (C + E + 2)`` bytes (in + out); at production shapes
+# (D=256, 20 channels) rows=112 keeps the pipelined working set under ~10 MB.
+_ROW_BLOCKS = (112, 96, 80, 64, 48, 32, 16, 8)
+
+
+def _kernel(x_ref, j_ref, l_ref, d_ref, scale_ref, bias_ref,
+            ox_ref, oj_ref, ol_ref, od_ref, *, lap: int, eps: float):
+    x = x_ref[...]  # [R, D]
+    j = j_ref[...]  # [C, R, D]
+    l = l_ref[...]  # [R, D]
+    d = d_ref[...]  # [E, R, D]
+
+    xc = x - jnp.mean(x, axis=-1, keepdims=True)
+    jc = j - jnp.mean(j, axis=-1, keepdims=True)
+    lc = l - jnp.mean(l, axis=-1, keepdims=True)
+    dc = d - jnp.mean(d, axis=-1, keepdims=True)
+    jlap, jext = jc[:lap], jc[lap:]
+
+    var_x = jnp.mean(xc * xc, axis=-1, keepdims=True)  # [R, 1]
+    var_j = 2.0 * jnp.mean(xc[None] * jc, axis=-1, keepdims=True)  # [C, R, 1]
+    var_l = 2.0 * jnp.mean(xc * lc, axis=-1, keepdims=True) + 2.0 * jnp.sum(
+        jnp.mean(jlap * jlap, axis=-1, keepdims=True), axis=0
+    )
+    var_d = 2.0 * jnp.mean(xc[None] * dc, axis=-1, keepdims=True) + 2.0 * jnp.mean(
+        jext * jext, axis=-1, keepdims=True
+    )
+
+    rs = jax.lax.rsqrt(var_x + eps)
+    f1 = -0.5 * rs * rs * rs
+    f2 = 0.75 * rs * rs * rs * rs * rs
+    rs_j = f1 * var_j
+    rs_l = f1 * var_l + f2 * jnp.sum(var_j[:lap] * var_j[:lap], axis=0)
+    rs_d = f1 * var_d + f2 * var_j[lap:] * var_j[lap:]
+
+    scale = scale_ref[...]
+    ox_ref[...] = (xc * rs) * scale + bias_ref[...]
+    oj_ref[...] = (jc * rs + xc[None] * rs_j) * scale
+    ol_ref[...] = (
+        lc * rs + xc * rs_l + 2.0 * jnp.sum(jlap * rs_j[:lap], axis=0)
+    ) * scale
+    od_ref[...] = (dc * rs + xc[None] * rs_d + 2.0 * jext * rs_j[lap:]) * scale
+
+
+def _pick_rows(rows: int) -> int | None:
+    for cand in _ROW_BLOCKS:
+        if rows % cand == 0:
+            return cand
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def _fused_rows(x, j, l, d, scale, bias, eps: float, interpret: bool):
+    rows, feat = x.shape
+    c, e = j.shape[0], d.shape[0]
+    rb = _pick_rows(rows)
+    grid = (rows // rb,)
+
+    def rowmap(i):
+        return (i, 0)
+
+    def chmap(i):
+        return (0, i, 0)
+
+    def fullmap(i):
+        return (0, 0)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, lap=c - e, eps=eps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((rb, feat), rowmap),
+            pl.BlockSpec((c, rb, feat), chmap),
+            pl.BlockSpec((rb, feat), rowmap),
+            pl.BlockSpec((e, rb, feat), chmap),
+            pl.BlockSpec((1, feat), fullmap),
+            pl.BlockSpec((1, feat), fullmap),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb, feat), rowmap),
+            pl.BlockSpec((c, rb, feat), chmap),
+            pl.BlockSpec((rb, feat), rowmap),
+            pl.BlockSpec((e, rb, feat), chmap),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(j.shape, j.dtype),
+            jax.ShapeDtypeStruct(l.shape, l.dtype),
+            jax.ShapeDtypeStruct(d.shape, d.dtype),
+        ],
+        interpret=interpret,
+    )(x, j, l, d, scale, bias)
+
+
+def supported(t: Jet) -> bool:
+    """Whether the fused kernel applies: real f32 jet with a blockable row count."""
+    rows = 1
+    for s in t.x.shape[:-1]:
+        rows *= s
+    return (
+        t.x.dtype == jnp.float32
+        and t.x.ndim >= 2
+        and _pick_rows(rows) is not None
+    )
+
+
+def layernorm_jet(p: dict, t: Jet, eps: float = 1e-5, interpret: bool | None = None) -> Jet:
+    """Single-pass fused LayerNorm of a jet; drop-in for the primitive chain.
+
+    Args:
+        p: flax LayerNorm parameter dict with ``scale``/``bias`` of ``[D]``.
+        t: jet with feature axis last (``x: [*S, D]``, ``j: [C, *S, D]``, ...).
+        eps: variance epsilon (flax default).
+        interpret: run the kernel in interpret mode (defaults to True off-TPU so
+            the CPU test mesh exercises the same code path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    shape = t.x.shape
+    feat = shape[-1]
+    rows = 1
+    for s in shape[:-1]:
+        rows *= s
+    ox, oj, ol, od = _fused_rows(
+        t.x.reshape(rows, feat),
+        t.j.reshape(t.j.shape[0], rows, feat),
+        t.l.reshape(rows, feat),
+        t.d.reshape(t.d.shape[0], rows, feat),
+        p["scale"].reshape(1, feat),
+        p["bias"].reshape(1, feat),
+        eps,
+        interpret,
+    )
+    return Jet(
+        ox.reshape(shape),
+        oj.reshape(t.j.shape),
+        ol.reshape(shape),
+        od.reshape(t.d.shape),
+    )
