@@ -52,9 +52,16 @@ def _dense_general_last(p: dict, t: Jet) -> Jet:
     )
 
 
-def _layernorm(p: dict, t: Jet, eps: float = 1e-5) -> Jet:
+def _layernorm(p: dict, t: Jet, eps: float = 1e-5, residual: Jet | None = None) -> Jet:
+    """LayerNorm jet; ``residual`` (if given) is added first — ``LN(t + residual)``.
+
+    The fused Pallas path folds the residual add into the kernel so the pre-norm
+    sum never round-trips through HBM; the primitive chain adds it explicitly.
+    """
     if JET_LAYERNORM_IMPL == "fused" and jet_layernorm.supported(t):
-        return jet_layernorm.layernorm_jet(p, t, eps)
+        return jet_layernorm.layernorm_jet(p, t, eps, residual=residual)
+    if residual is not None:
+        t = fwdlap.add(t, residual)
     mean = fwdlap.linear(lambda v: jnp.mean(v, axis=-1, keepdims=True), t)
     xc = Jet(t.x - mean.x, t.j - mean.j, t.l - mean.l, t.d - mean.d)
     var = fwdlap.linear(
@@ -381,12 +388,10 @@ def psiformer_logpsi_jet(
         h = _dense(tower["Dense_0"], h0, use_bias=False)
         for i in range(model.num_layers):
             attn = _attention(tower[f"MultiHeadAttention_{i}"], model.num_heads, h)
-            h = fwdlap.add(h, _dense(tower[f"Dense_{2 * i + 1}"], attn, use_bias=False))
-            h = _layernorm(tower[f"LayerNorm_{2 * i}"], h)
-            h = fwdlap.add(
-                h, fwdlap.elementwise(jnp.tanh, _dense(tower[f"Dense_{2 * i + 2}"], h))
-            )
-            h = _layernorm(tower[f"LayerNorm_{2 * i + 1}"], h)
+            proj = _dense(tower[f"Dense_{2 * i + 1}"], attn, use_bias=False)
+            h = _layernorm(tower[f"LayerNorm_{2 * i}"], h, residual=proj)
+            mlp = fwdlap.elementwise(jnp.tanh, _dense(tower[f"Dense_{2 * i + 2}"], h))
+            h = _layernorm(tower[f"LayerNorm_{2 * i + 1}"], h, residual=mlp)
 
         orb_params = p["Orbitals_0"]["featured_orbitals"]
         orbitals = _featured_orbitals(orb_params, h, model.nspins)  # [*B, N, F, ne, nd]

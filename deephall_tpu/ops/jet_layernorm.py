@@ -46,12 +46,21 @@ from deephall_tpu.ops.fwdlap import Jet
 _ROW_BLOCKS = (112, 96, 80, 64, 48, 32, 16, 8)
 
 
-def _kernel(x_ref, j_ref, l_ref, d_ref, scale_ref, bias_ref,
-            ox_ref, oj_ref, ol_ref, od_ref, *, lap: int, eps: float):
-    x = x_ref[...]  # [R, D]
-    j = j_ref[...]  # [C, R, D]
-    l = l_ref[...]  # [R, D]
-    d = d_ref[...]  # [E, R, D]
+def _kernel(*refs, lap: int, eps: float, residual: bool):
+    if residual:
+        (x_ref, j_ref, l_ref, d_ref, rx_ref, rj_ref, rl_ref, rd_ref,
+         scale_ref, bias_ref, ox_ref, oj_ref, ol_ref, od_ref) = refs
+        x = x_ref[...] + rx_ref[...]  # [R, D]
+        j = j_ref[...] + rj_ref[...]  # [C, R, D]
+        l = l_ref[...] + rl_ref[...]  # [R, D]
+        d = d_ref[...] + rd_ref[...]  # [E, R, D]
+    else:
+        (x_ref, j_ref, l_ref, d_ref, scale_ref, bias_ref,
+         ox_ref, oj_ref, ol_ref, od_ref) = refs
+        x = x_ref[...]
+        j = j_ref[...]
+        l = l_ref[...]
+        d = d_ref[...]
 
     xc = x - jnp.mean(x, axis=-1, keepdims=True)
     jc = j - jnp.mean(j, axis=-1, keepdims=True)
@@ -91,8 +100,8 @@ def _pick_rows(rows: int) -> int | None:
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
-def _fused_rows(x, j, l, d, scale, bias, eps: float, interpret: bool):
+@functools.partial(jax.jit, static_argnums=(6, 7))
+def _fused_rows(x, j, l, d, scale, bias, eps: float, interpret: bool, *res):
     rows, feat = x.shape
     c, e = j.shape[0], d.shape[0]
     rb = _pick_rows(rows)
@@ -107,23 +116,24 @@ def _fused_rows(x, j, l, d, scale, bias, eps: float, interpret: bool):
     def fullmap(i):
         return (0, 0)
 
+    jet_specs = [
+        pl.BlockSpec((rb, feat), rowmap),
+        pl.BlockSpec((c, rb, feat), chmap),
+        pl.BlockSpec((rb, feat), rowmap),
+        pl.BlockSpec((e, rb, feat), chmap),
+    ]
+    in_specs = list(jet_specs)
+    if res:
+        in_specs += jet_specs
+    in_specs += [
+        pl.BlockSpec((1, feat), fullmap),
+        pl.BlockSpec((1, feat), fullmap),
+    ]
     return pl.pallas_call(
-        functools.partial(_kernel, lap=c - e, eps=eps),
+        functools.partial(_kernel, lap=c - e, eps=eps, residual=bool(res)),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((rb, feat), rowmap),
-            pl.BlockSpec((c, rb, feat), chmap),
-            pl.BlockSpec((rb, feat), rowmap),
-            pl.BlockSpec((e, rb, feat), chmap),
-            pl.BlockSpec((1, feat), fullmap),
-            pl.BlockSpec((1, feat), fullmap),
-        ],
-        out_specs=[
-            pl.BlockSpec((rb, feat), rowmap),
-            pl.BlockSpec((c, rb, feat), chmap),
-            pl.BlockSpec((rb, feat), rowmap),
-            pl.BlockSpec((e, rb, feat), chmap),
-        ],
+        in_specs=in_specs,
+        out_specs=jet_specs,
         out_shape=[
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct(j.shape, j.dtype),
@@ -131,7 +141,7 @@ def _fused_rows(x, j, l, d, scale, bias, eps: float, interpret: bool):
             jax.ShapeDtypeStruct(d.shape, d.dtype),
         ],
         interpret=interpret,
-    )(x, j, l, d, scale, bias)
+    )(x, j, l, d, *res, scale, bias)
 
 
 def supported(t: Jet) -> bool:
@@ -146,13 +156,22 @@ def supported(t: Jet) -> bool:
     )
 
 
-def layernorm_jet(p: dict, t: Jet, eps: float = 1e-5, interpret: bool | None = None) -> Jet:
+def layernorm_jet(
+    p: dict,
+    t: Jet,
+    eps: float = 1e-5,
+    residual: Jet | None = None,
+    interpret: bool | None = None,
+) -> Jet:
     """Single-pass fused LayerNorm of a jet; drop-in for the primitive chain.
 
     Args:
         p: flax LayerNorm parameter dict with ``scale``/``bias`` of ``[D]``.
         t: jet with feature axis last (``x: [*S, D]``, ``j: [C, *S, D]``, ...).
         eps: variance epsilon (flax default).
+        residual: optional second jet added to ``t`` inside the kernel
+            (``LN(t + residual)``) — the pre-norm residual sum is never
+            materialised in HBM.
         interpret: run the kernel in interpret mode (defaults to True off-TPU so
             the CPU test mesh exercises the same code path).
     """
@@ -163,15 +182,23 @@ def layernorm_jet(p: dict, t: Jet, eps: float = 1e-5, interpret: bool | None = N
     rows = 1
     for s in shape[:-1]:
         rows *= s
+
+    def flat(jet):
+        return (
+            jnp.broadcast_to(jet.x, shape).reshape(rows, feat),
+            jnp.broadcast_to(jet.j, t.j.shape).reshape(t.j.shape[0], rows, feat),
+            jnp.broadcast_to(jet.l, shape).reshape(rows, feat),
+            jnp.broadcast_to(jet.d, t.d.shape).reshape(t.d.shape[0], rows, feat),
+        )
+
+    res = flat(residual) if residual is not None else ()
     ox, oj, ol, od = _fused_rows(
-        t.x.reshape(rows, feat),
-        t.j.reshape(t.j.shape[0], rows, feat),
-        t.l.reshape(rows, feat),
-        t.d.reshape(t.d.shape[0], rows, feat),
+        *flat(t),
         p["scale"].reshape(1, feat),
         p["bias"].reshape(1, feat),
         eps,
         interpret,
+        *res,
     )
     return Jet(
         ox.reshape(shape),

@@ -74,6 +74,25 @@ def test_unsupported_shapes_fall_back():
     assert not jet_layernorm.supported(double) or double.x.dtype == jnp.float32
 
 
+@pytest.mark.parametrize("channels,extras", [(13, 1), (15, 3)])
+def test_fused_residual_matches_add_then_chain(channels, extras):
+    key = jax.random.PRNGKey(11)
+    t = random_jet(key, (16, 6), 64, channels, extras)
+    r = random_jet(jax.random.PRNGKey(12), (16, 6), 64, channels, extras)
+    p = {
+        "scale": jax.random.normal(jax.random.PRNGKey(1), (64,)) * 0.3 + 1.0,
+        "bias": jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.1,
+    }
+    from deephall_tpu.ops import fwdlap as ops_fwdlap
+
+    ref = chain_layernorm(p, ops_fwdlap.add(t, r))
+    got = jet_layernorm.layernorm_jet(p, t, residual=r)
+    for name, a, b in zip(Jet._fields, ref, got):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-6, atol=2e-6, err_msg=name
+        )
+
+
 def test_dispatch_through_layernorm(monkeypatch):
     monkeypatch.setattr(nets_fwdlap, "JET_LAYERNORM_IMPL", "fused")
     t = random_jet(jax.random.PRNGKey(3), (8, 6), 32, 7, 3)
