@@ -6,12 +6,17 @@ covering the ground state (N = 2 Q1 + 1), one quasihole (N = 2 Q1) and one quasi
 (N = 2 Q1 + 2, lowest-Landau-level projected via the u* -> d/du, v* -> d/dv derivative
 trick), with a selectable Lz for the excitation.
 
+Beyond the reference: the two-filled-Lambda-level Jain state (N = 4 Q1 + 4), the
+nu = 2/5 analytic anchor — the reference names 2/5 as a target filling
+(``/root/reference/README.md:9``) but ships no analytic wavefunction for it.
+
 Used both as a standalone (parameter-free) wavefunction for inference runs and as the
 overlap target for the trained Psiformer.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from flax import linen as nn
 from jax import numpy as jnp
 
@@ -44,6 +49,8 @@ class Laughlin(nn.Module):
             self._check_lz()
             assert -abs(self.Q1) - 1 <= self.excitation_lz <= abs(self.Q1) + 1
             self.cf_orbitals = self.quasiparticle_orbitals
+        elif nelec == 4 * self.Q1 + 4:  # Jain nu=2/5: two filled Lambda levels
+            self.cf_orbitals = self.jain_two_level_orbitals
         else:
             raise ValueError("Filling not supported")
 
@@ -103,3 +110,37 @@ class Laughlin(nn.Module):
             (Q + 1 + m1) * v * jastrow_dv - (Q + 1 - m1) * u * jastrow_du
         )
         return jnp.concatenate([orbitals * jastrow, excited], axis=-1)
+
+    def jain_two_level_orbitals(self, u, v):
+        """Two filled composite-fermion Lambda levels: the Jain nu=2/5 state.
+
+        The lowest level (l = Q1, 2 Q1 + 1 orbitals) is the ground-state
+        construction; the second level (l = Q1 + 1, 2 Q1 + 3 orbitals) applies
+        the quasiparticle LLL projection to every member m1 of the shell, so
+        N = 4 Q1 + 4 in total. A filled-shell state is rotationally invariant
+        and lives entirely in the LLL after projection, giving the exact
+        oracles L^2 = 0 and KE = N/2 (pinned in ``tests/test_features.py``).
+
+        At the shell edges m1 = +-(Q1 + 1) one of the two projected terms has
+        coefficient zero alongside a negative monomial exponent; the exponent
+        is clamped (the term vanishes identically either way) so that
+        theta = 0 / pi configurations stay finite.
+        """
+        Q = self.Q1
+        m0 = jnp.arange(-Q, Q + 1)
+        element, jastrow = self._pair_jastrow(u, v)
+        u_row = jnp.swapaxes(u, -1, -2)
+        v_row = jnp.swapaxes(v, -1, -2)
+        jastrow_dv = jastrow * (jnp.sum(-u_row / element, axis=-1, keepdims=True) + u)
+        jastrow_du = jastrow * (jnp.sum(v_row / element, axis=-1, keepdims=True) - v)
+
+        m1 = np.arange(-(Q + 1), Q + 2)
+        coef_v = Q + 1 + m1  # multiplies the v * d/dv term
+        coef_u = Q + 1 - m1  # multiplies the u * d/du term
+        exp_u = np.where(coef_v > 0, Q + m1, 0)
+        exp_v = np.where(coef_u > 0, Q - m1, 0)
+        excited = (coef_v * u**exp_u * v ** (Q + 1 - m1)) * jastrow_dv - (
+            coef_u * u ** (Q + m1 + 1) * v**exp_v
+        ) * jastrow_du
+        lowest = u ** (Q + m0) * v ** (Q - m0) * jastrow
+        return jnp.concatenate([lowest, excited], axis=-1)

@@ -3,6 +3,7 @@ harmonic interaction, radius override, quasihole/quasiparticle Laughlin states."
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 from deephall_tpu.config import InteractionType, Network, System
 from deephall_tpu.hamiltonian import local_energy
@@ -100,6 +101,31 @@ def test_laughlin_quasiparticle():
     params = model.init(jax.random.PRNGKey(1), data[0])
     out = jax.vmap(lambda x: model.apply(params, x))(data)
     assert jnp.all(jnp.isfinite(out.real))
+
+
+@pytest.mark.parametrize("nelec,flux", [(4, 6), (8, 16)])
+def test_jain_two_level_oracles(nelec, flux):
+    """Jain nu=2/5 state (N = 4*Q1 + 4): exact identities KE = N/2, L^2 = 0.
+
+    The filled-two-Lambda-level state is rotationally invariant and, after the
+    quasiparticle-style LLL projection, lives entirely in the lowest Landau
+    level — both properties are exact, parameter-free quantum-mechanical
+    oracles (same class as the reference's LLL determinant tests,
+    ``/root/reference/tests/hamiltonian_test.py:65-76``).
+    """
+    from deephall_tpu.hamiltonian import make_local_kinetic_energy
+
+    model = Laughlin(nspins=(nelec, 0), flux=flux)
+    data = init_guess(jax.random.PRNGKey(0), 3, nelec)
+    params = model.init(jax.random.PRNGKey(1), data[0])
+    out = jax.vmap(lambda x: model.apply(params, x))(data)
+    assert jnp.all(jnp.isfinite(out.real))
+
+    Q = flux / 2
+    ke_fn = make_local_kinetic_energy(model.apply, Q, jnp.sqrt(Q))
+    ke, obs = jax.jit(jax.vmap(ke_fn, in_axes=(None, 0)))(params, data)
+    assert jnp.allclose(ke, nelec / 2, atol=1e-3)
+    assert jnp.allclose(obs["angular_momentum_square"], 0, atol=1e-3)
 
 
 def test_interaction_strength_scales_potential():
