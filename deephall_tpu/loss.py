@@ -22,6 +22,7 @@ import enum
 from collections.abc import Callable
 
 import jax
+import numpy as np
 from jax import numpy as jnp
 
 from deephall_tpu.config import System
@@ -45,6 +46,49 @@ class LossMode(enum.Enum):
     ENERGY_GRAD = enum.auto()
     ENERGY_DIFF = enum.auto()
     SR_F_VECTOR = enum.auto()
+
+
+def stats_and_clipped_diff(
+    system: System, el: jnp.ndarray, other_observables: dict
+) -> tuple[LossStats, jnp.ndarray]:
+    """Per-step statistics and the clipped per-walker energy differences.
+
+    Implements the reference estimator's clipping and penalty assembly
+    (``/root/reference/deephall/loss.py:66-91``): IQR clipping of the local
+    energy, optional Lz / L^2 penalty terms folded into the differences, and
+    NaN-resistant means for the logged statistics.
+    """
+    mean_observables = jax.tree.map(jnp.mean, other_observables)
+    loss = jnp.nanmean(el)
+    clipped_loss = jnp.nanmean(iqr_clip(el))
+    diff_to_clip = el - clipped_loss
+    if system.lz_penalty:
+        lz_square = other_observables["angular_momentum_z_square"]
+        lz = other_observables["angular_momentum_z"]
+        clipped_lz_square = jnp.nanmean(iqr_clip_real(lz_square))
+        clipped_lz = jnp.nanmean(iqr_clip_real(lz))
+        diff_to_clip += system.lz_penalty * (
+            (lz_square - clipped_lz_square)
+            - 2 * system.lz_center * (lz - clipped_lz)
+        )
+    if system.l2_penalty:
+        l2 = other_observables["angular_momentum_square"]
+        clipped_l2 = jnp.nanmean(iqr_clip_real(l2))
+        diff_to_clip += system.l2_penalty * (l2 - clipped_l2)
+    diff = iqr_clip(diff_to_clip)
+
+    variance = jnp.nanmean(el.real**2) - loss.real**2
+    stats = LossStats(**mean_observables, energy=loss, variance=variance)
+    return stats, diff
+
+
+def vjp_weights(diff: jnp.ndarray) -> jnp.ndarray:
+    """Cotangent weights ``w_i = 2 (E_L,i - E_clip) / count`` for the gradient VJP."""
+    valid = ~jnp.isnan(diff)
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return jax.lax.stop_gradient(
+        jnp.where(valid, jnp.nan_to_num(diff), 0) * (2.0 / count)
+    )
 
 
 def make_loss_fn(
@@ -73,37 +117,10 @@ def make_loss_fn(
 
     def loss_and_grad(params: ArrayTree, data: jnp.ndarray):
         el, other_observables = batch_local_energy(params, data)
-        mean_observables = jax.tree.map(jnp.mean, other_observables)
-
-        loss = jnp.nanmean(el)
-        clipped_loss = jnp.nanmean(iqr_clip(el))
-        diff_to_clip = el - clipped_loss
-        if system.lz_penalty:
-            lz_square = other_observables["angular_momentum_z_square"]
-            lz = other_observables["angular_momentum_z"]
-            clipped_lz_square = jnp.nanmean(iqr_clip_real(lz_square))
-            clipped_lz = jnp.nanmean(iqr_clip_real(lz))
-            diff_to_clip += system.lz_penalty * (
-                (lz_square - clipped_lz_square)
-                - 2 * system.lz_center * (lz - clipped_lz)
-            )
-        if system.l2_penalty:
-            l2 = other_observables["angular_momentum_square"]
-            clipped_l2 = jnp.nanmean(iqr_clip_real(l2))
-            diff_to_clip += system.l2_penalty * (l2 - clipped_l2)
-        diff = iqr_clip(diff_to_clip)
-
-        variance = jnp.nanmean(el.real**2) - loss.real**2
-        stats = LossStats(**mean_observables, energy=loss, variance=variance)
+        stats, diff = stats_and_clipped_diff(system, el, other_observables)
         if mode == LossMode.ENERGY_DIFF:
             return stats, diff
-
-        # Single weighted VJP: tangent = 2 nanmean_i conj(grad logpsi_i) diff_i.
-        valid = ~jnp.isnan(diff)
-        count = jnp.maximum(jnp.sum(valid), 1)
-        w = jax.lax.stop_gradient(
-            jnp.where(valid, jnp.nan_to_num(diff), 0) * (2.0 / count)
-        )
+        w = vjp_weights(diff)
 
         def weighted_real(p):
             logpsi = network(p, data)  # natively batched
@@ -127,3 +144,55 @@ def make_loss_fn(
         )
 
     return loss_and_grad
+
+
+def make_loss_and_capture_fn(
+    system: System, model
+) -> Callable[[ArrayTree, jnp.ndarray], tuple]:
+    """Energy gradient *and* KFAC curvature capture from one shared forward.
+
+    The plain composition runs the batched ``log psi`` forward twice per step:
+    once inside the loss's weighted VJP and once inside KFAC's tap-capture VJP
+    (the reference pays the same twice via ``vmap(value_and_grad)`` plus
+    kfac_jax's own forward, ``/root/reference/deephall/loss.py:53-58`` +
+    ``kfac.py:195-241``).  Both are pullbacks of the *same* linearization, so
+    one ``jax.vjp`` over ``(params, taps)`` serves both: the weighted cotangent
+    gives the energy gradient, and the ``sqrt(2)``-uniform cotangent gives every
+    layer's output sensitivities for the exact Fisher — sharing the forward
+    pass and its stored residuals.
+
+    Returns:
+        ``(params, data) -> (stats, grads, sown, dy)`` where ``sown``/``dy``
+        are the raw KFAC collection trees (layer inputs / tap cotangents).
+    """
+    from deephall_tpu.networks.blocks import KFAC_IN, KFAC_TAPS
+
+    batch_local_energy = forward_laplacian_local_energy(model, system)
+    sqrt2 = float(np.sqrt(2.0))
+
+    def loss_grad_capture(params: ArrayTree, data: jnp.ndarray):
+        el, other_observables = batch_local_energy(params, data)
+        stats, diff = stats_and_clipped_diff(system, el, other_observables)
+        w = vjp_weights(diff)
+
+        def shape_fn(p, d):
+            _, aux = model.apply(dict(p), d, mutable=[KFAC_TAPS])
+            return aux[KFAC_TAPS]
+
+        taps_struct = jax.eval_shape(shape_fn, params, data)
+        taps0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), taps_struct)
+
+        def f(p, taps):
+            variables = dict(p)
+            variables[KFAC_TAPS] = taps
+            out, aux = model.apply(variables, data, mutable=[KFAC_IN])
+            return (out.real, out.imag), aux[KFAC_IN]
+
+        _, pullback, sown = jax.vjp(f, params, taps0, has_aux=True)
+        # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
+        grads, _ = pullback((w.real, w.imag))
+        # Exact-Fisher sensitivities of sqrt(2) sum_b Re log psi_b.
+        _, dy = pullback((jnp.full_like(w.real, sqrt2), jnp.zeros_like(w.imag)))
+        return stats, jax.tree.map(jnp.nan_to_num, grads), sown, dy
+
+    return loss_grad_capture

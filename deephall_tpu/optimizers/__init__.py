@@ -13,7 +13,8 @@ import optax
 from flax import linen as nn
 
 from deephall_tpu.config import Config, OptimizerName
-from deephall_tpu.loss import LossMode, make_loss_fn
+from deephall_tpu.loss import LossMode, make_loss_and_capture_fn, make_loss_fn
+from deephall_tpu.networks.psiformer import Psiformer
 from deephall_tpu.optimizers.adam import make_adam_training_step
 from deephall_tpu.optimizers.kfac import KfacState, make_kfac_training_step
 from deephall_tpu.optimizers.none import make_inference_step
@@ -84,8 +85,15 @@ def make_optimizer_step(
         return make_adam_training_step(cfg.optim.adam, loss_grad_fn)
     if cfg.optim.optimizer == OptimizerName.kfac:
         loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD, model=model)
+        # Psiformer: one shared forward serves both the gradient VJP and the
+        # KFAC curvature capture (see loss.make_loss_and_capture_fn).
+        capture_fn = (
+            make_loss_and_capture_fn(cfg.system, model)
+            if isinstance(model, Psiformer)
+            else None
+        )
         return make_kfac_training_step(
-            cfg.optim.kfac, loss_grad_fn, model, sample_config
+            cfg.optim.kfac, loss_grad_fn, model, sample_config, capture_fn=capture_fn
         )
     if cfg.optim.optimizer == OptimizerName.none:
         loss_diff_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF, model=model)

@@ -83,7 +83,7 @@ def _path_key(path: tuple[str, ...]) -> str:
 
 
 def make_kfac_training_step(
-    optim_cfg: OptimizerKfac, loss_grad_fn, model, sample_config
+    optim_cfg: OptimizerKfac, loss_grad_fn, model, sample_config, capture_fn=None
 ) -> tuple[TrainingInit, TrainingStep]:
     """Build the KFAC (init, step) pair.
 
@@ -92,6 +92,11 @@ def make_kfac_training_step(
         loss_grad_fn: ``(params, data) -> (stats, grads)`` energy-gradient estimator.
         model: The flax wavefunction module (provides the tap/sow collections).
         sample_config: One electron configuration ``[nelec, 2]`` for shape discovery.
+        capture_fn: Optional fused ``(params, data) -> (stats, grads, sown, dy)``
+            estimator (``loss.make_loss_and_capture_fn``) that shares one
+            forward pass between the gradient VJP and the curvature capture;
+            when given, ``loss_grad_fn`` and the separate capture pass are
+            bypassed.
 
     Returns:
         ``(init, step)`` with the reference training-step interface.
@@ -279,8 +284,12 @@ def make_kfac_training_step(
         params, data, opt_state, mcmc_width = state
         specs, tap_shapes, _ = _discover(params)
 
-        stats, grads = loss_grad_fn(params, data)
-        sown, dy = _capture(params, data)
+        if capture_fn is not None:
+            stats, grads, sown, dy = capture_fn(params, data)
+            sown, dy = _module_paths(sown), _module_paths(dy)
+        else:
+            stats, grads = loss_grad_fn(params, data)
+            sown, dy = _capture(params, data)
         kron_new, diag_new = _factor_update(specs, sown, dy)
 
         kron = jax.tree.map(

@@ -92,3 +92,43 @@ def test_stats_fields():
         "angular_momentum_square",
     ):
         assert key in stats
+
+
+def test_fused_capture_matches_separate_paths():
+    """make_loss_and_capture_fn == (ENERGY_GRAD loss, KFAC tap capture) exactly.
+
+    The fused estimator shares one forward between the weighted gradient VJP
+    and the curvature capture; grads must match the standalone loss (the taps
+    add zeros) and the tap cotangents must match a standalone capture VJP of
+    sqrt(2) * sum Re log psi.
+    """
+    import numpy as np
+
+    from deephall_tpu.loss import make_loss_and_capture_fn
+    from deephall_tpu.networks.blocks import KFAC_TAPS
+
+    system, model, params, data = _setup()
+    fused = make_loss_and_capture_fn(system, model)
+    stats_f, grads_f, sown, dy = jax.jit(fused)(params, data)
+
+    loss_fn = make_loss_fn(model.apply, system, LossMode.ENERGY_GRAD, model=model)
+    stats_s, grads_s = jax.jit(loss_fn)(params, data)
+    assert jnp.allclose(stats_f["energy"], stats_s["energy"], atol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads_f), jax.tree.leaves(grads_s)):
+        assert jnp.allclose(a, b, atol=1e-5)
+
+    def capture_scalar(taps):
+        variables = dict(params)
+        variables[KFAC_TAPS] = taps
+        out = model.apply(variables, data)
+        return jnp.sum(out.real) * np.sqrt(2.0)
+
+    taps_struct = jax.eval_shape(
+        lambda p, d: model.apply(dict(p), d, mutable=[KFAC_TAPS])[1][KFAC_TAPS],
+        params,
+        data,
+    )
+    taps0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), taps_struct)
+    dy_ref = jax.grad(capture_scalar)(taps0)
+    for a, b in zip(jax.tree.leaves(dy), jax.tree.leaves(dy_ref)):
+        assert jnp.allclose(a, b, atol=1e-5), (a, b)
