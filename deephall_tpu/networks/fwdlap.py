@@ -58,7 +58,9 @@ def _layernorm(p: dict, t: Jet, eps: float = 1e-5, residual: Jet | None = None) 
     The fused Pallas path folds the residual add into the kernel so the pre-norm
     sum never round-trips through HBM; the primitive chain adds it explicitly.
     """
-    if JET_LAYERNORM_IMPL == "fused" and jet_layernorm.supported(t):
+    if JET_LAYERNORM_IMPL == "fused" and jet_layernorm.supported(
+        t, residual=residual is not None
+    ):
         return jet_layernorm.layernorm_jet(p, t, eps, residual=residual)
     if residual is not None:
         t = fwdlap.add(t, residual)

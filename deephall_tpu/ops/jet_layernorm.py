@@ -40,10 +40,19 @@ from jax.experimental import pallas as pl
 
 from deephall_tpu.ops.fwdlap import Jet
 
-# Row-block candidates, multiples of the f32 sublane tile (8).  VMEM per block is
-# ``2 * rows * D * 4 * (C + E + 2)`` bytes (in + out); at production shapes
-# (D=256, 20 channels) rows=112 keeps the pipelined working set under ~10 MB.
+# Row-block candidates, multiples of the f32 sublane tile (8).  The pipelined
+# working set is chosen against the 16 MB scoped-VMEM limit via the measured
+# cost model in :func:`_pick_rows` — the residual variant doubles the input
+# planes (two full jets in, one out), which at production shapes (D=256,
+# 20-channel jets) overflows at rows=112 but fits at 80.
 _ROW_BLOCKS = (112, 96, 80, 64, 48, 32, 16, 8)
+
+# Compiler-measured scoped-VMEM cost per (plane x row x feature) f32 element is
+# ~2.42x the raw 4 bytes (double buffering + stack margin): the residual kernel
+# at 60 planes x 112 rows x 256 feats allocated 16.67 MB.  Budget below the
+# 16 MB limit with headroom.
+_VMEM_BUDGET = 14.5e6
+_BYTES_FACTOR = 4 * 2.5
 
 
 def _kernel(*refs, lap: int, eps: float, residual: bool):
@@ -93,9 +102,15 @@ def _kernel(*refs, lap: int, eps: float, residual: bool):
     od_ref[...] = (dc * rs + xc[None] * rs_d + 2.0 * jext * rs_j[lap:]) * scale
 
 
-def _pick_rows(rows: int) -> int | None:
+def _pick_rows(rows: int, planes: int, feat: int) -> int | None:
+    """Largest row block dividing ``rows`` whose working set fits scoped VMEM.
+
+    ``planes`` counts every [rb, feat] slab live in the kernel (input jet
+    channels, optional residual jet channels, output jet channels).
+    """
+    max_rows = _VMEM_BUDGET / (planes * feat * _BYTES_FACTOR)
     for cand in _ROW_BLOCKS:
-        if rows % cand == 0:
+        if cand <= max_rows and rows % cand == 0:
             return cand
     return None
 
@@ -104,7 +119,9 @@ def _pick_rows(rows: int) -> int | None:
 def _fused_rows(x, j, l, d, scale, bias, eps: float, interpret: bool, *res):
     rows, feat = x.shape
     c, e = j.shape[0], d.shape[0]
-    rb = _pick_rows(rows)
+    jet_planes = c + e + 2
+    planes = jet_planes * (3 if res else 2)  # in (+ residual) + out
+    rb = _pick_rows(rows, planes, feat)
     grid = (rows // rb,)
 
     def rowmap(i):
@@ -144,15 +161,17 @@ def _fused_rows(x, j, l, d, scale, bias, eps: float, interpret: bool, *res):
     )(x, j, l, d, *res, scale, bias)
 
 
-def supported(t: Jet) -> bool:
+def supported(t: Jet, residual: bool = False) -> bool:
     """Whether the fused kernel applies: real f32 jet with a blockable row count."""
     rows = 1
     for s in t.x.shape[:-1]:
         rows *= s
+    jet_planes = t.j.shape[0] + t.d.shape[0] + 2
+    planes = jet_planes * (3 if residual else 2)
     return (
         t.x.dtype == jnp.float32
         and t.x.ndim >= 2
-        and _pick_rows(rows) is not None
+        and _pick_rows(rows, planes, t.x.shape[-1]) is not None
     )
 
 
