@@ -24,7 +24,7 @@ from jax import numpy as jnp
 from deephall_tpu.config import OrbitalType
 from deephall_tpu.geometry import chord_distances, spinors
 from deephall_tpu.networks.psiformer import Psiformer
-from deephall_tpu.ops import fwdlap, jet_layernorm
+from deephall_tpu.ops import fwdlap, jet_attention, jet_layernorm
 from deephall_tpu.ops.fwdlap import Jet
 
 # LayerNorm-jet lowering: "fused" routes blockable f32 jets through the
@@ -78,7 +78,9 @@ def _layernorm(p: dict, t: Jet, eps: float = 1e-5, residual: Jet | None = None) 
 # Jet attention lowering: "vpu" keeps the standard channel-leading layout
 # (tiny spatial axes in the lanes); "bm" relayouts q/k/v to batch-minor so the
 # softmax chain and both contractions run with the walker batch in the 128-wide
-# lanes and the jet channels in the sublanes.  Overridable for benchmarking.
+# lanes and the jet channels in the sublanes; "pallas" runs the whole jet
+# attention (projections included) in one VMEM-resident kernel
+# (ops/jet_attention.py).  Overridable for benchmarking.
 JET_ATTENTION_IMPL = os.environ.get("DEEPHALL_JET_ATTENTION_IMPL", "bm")
 
 # Jet tower layout: "std" keeps channel-leading activations with per-attention
@@ -90,6 +92,8 @@ JET_TOWER_IMPL = os.environ.get("DEEPHALL_JET_TOWER_IMPL", "std")
 
 
 def _attention(p: dict, num_heads: int, t: Jet) -> Jet:
+    if JET_ATTENTION_IMPL == "pallas" and jet_attention.supported(t):
+        return jet_attention.attention_jet(p, num_heads, t)
     head_dim = t.x.shape[-1] // num_heads
     q = _dense_general_last(p["query"], t)
     k = _dense_general_last(p["key"], t)
