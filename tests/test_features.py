@@ -128,6 +128,63 @@ def test_jain_two_level_oracles(nelec, flux):
     assert jnp.allclose(obs["angular_momentum_square"], 0, atol=1e-3)
 
 
+class _GeneralJain(Laughlin):
+    """Laughlin with the Jain dispatch forced to the general Lambda-level path."""
+
+    n_levels_override: int = 2
+
+    def setup(self):
+        nelec = sum(self.nspins)
+        self.Q1 = self.flux / 2 - self.cf_flux * (nelec - 1)
+        self.n_levels = self.n_levels_override
+        self.cf_orbitals = self.jain_orbitals
+
+
+@pytest.mark.parametrize("nelec,flux", [(4, 6), (8, 16)])
+def test_general_jain_matches_hand_derived_two_level(nelec, flux):
+    """The lowering-operator construction reproduces the hand-derived nu=2/5 state.
+
+    Each determinant column may carry a different normalization constant, so
+    log psi of the two constructions differs by a configuration-independent
+    complex constant — variance of the difference over a batch must vanish.
+    """
+    hand = Laughlin(nspins=(nelec, 0), flux=flux)
+    general = _GeneralJain(nspins=(nelec, 0), flux=flux)
+    data = init_guess(jax.random.PRNGKey(0), 6, nelec)
+    p_hand = hand.init(jax.random.PRNGKey(1), data[0])
+    p_gen = general.init(jax.random.PRNGKey(1), data[0])
+    lh = jax.vmap(lambda x: hand.apply(p_hand, x))(data)
+    lg = jax.vmap(lambda x: general.apply(p_gen, x))(data)
+    diff = lg - lh
+    assert jnp.allclose(diff.real, diff.real[0], atol=1e-4)
+    # imaginary parts are phases: compare mod 2*pi via the complex exponential
+    assert jnp.allclose(jnp.exp(1j * (diff.imag - diff.imag[0])), 1.0, atol=1e-4)
+
+
+def test_jain_three_level_oracles():
+    """Jain nu=3/7 (N = 6*Q1 + 9, three filled Lambda levels): KE = N/2, L^2 = 0.
+
+    Same exact-identity class as the two-level test above: a filled-shell CF
+    state is rotationally invariant, and the Jain-Kamilla projection leaves it
+    entirely in the lowest Landau level. N=12 at 2Q=23 (Q1 = 1/2) is the
+    smallest three-level system.
+    """
+    from deephall_tpu.hamiltonian import make_local_kinetic_energy
+
+    nelec, flux = 12, 23
+    model = Laughlin(nspins=(nelec, 0), flux=flux)
+    data = init_guess(jax.random.PRNGKey(0), 2, nelec)
+    params = model.init(jax.random.PRNGKey(1), data[0])
+    out = jax.vmap(lambda x: model.apply(params, x))(data)
+    assert jnp.all(jnp.isfinite(out.real))
+
+    Q = flux / 2
+    ke_fn = make_local_kinetic_energy(model.apply, Q, jnp.sqrt(Q))
+    ke, obs = jax.jit(jax.vmap(ke_fn, in_axes=(None, 0)))(params, data)
+    assert jnp.allclose(ke, nelec / 2, atol=1e-3)
+    assert jnp.allclose(obs["angular_momentum_square"], 0, atol=1e-3)
+
+
 def test_interaction_strength_scales_potential():
     base = System(flux=2, nspins=(3, 0), interaction_strength=1.0)
     double = System(flux=2, nspins=(3, 0), interaction_strength=2.0)
