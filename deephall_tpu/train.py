@@ -20,6 +20,7 @@ second derivatives of the network and bf16 matmul error is visible in the physic
 from __future__ import annotations
 
 import logging
+import os
 import signal
 import sys
 import time
@@ -54,6 +55,47 @@ def init_guess(key, batch: int, nelec: int) -> jnp.ndarray:
     theta = jnp.arccos(jax.random.uniform(key1, (batch, nelec), minval=-1, maxval=1))
     phi = jax.random.uniform(key2, (batch, nelec), minval=-jnp.pi, maxval=jnp.pi)
     return jnp.stack([theta, phi], axis=-1)
+
+
+_TRANSIENT_MARKERS = ("UNAVAILABLE", "Connection", "transport", "remote_compile")
+_TRANSIENT_RETRIES = 15
+_TRANSIENT_BACKOFF_S = 120.0
+
+
+def _run_block_resilient(iteration_block, state, key, pmoves, t, length, *,
+                         log_manager, adapt, step):
+    """Run one fused block, riding out transient tunnel/compile-service outages.
+
+    On this runtime the remote compile service restarts independently of the
+    device: a mid-run recompile (e.g. the layout-driven block-2 compile, see
+    ``make_iteration_block``) can then fail with a transport error while the
+    device state and cached executables remain perfectly healthy. Observed in
+    production (runs/prod_jain37: block 2 died on "remote_compile: Connection
+    refused" after a clean block 1). Retry with a flat backoff; on the first
+    failure, best-effort checkpoint the still-readable device state so even a
+    permanent outage costs at most one block.
+    """
+    saved = False
+    for attempt in range(_TRANSIENT_RETRIES + 1):
+        try:
+            return iteration_block(state, key, pmoves, t, length)
+        except jax.errors.JaxRuntimeError as e:  # noqa: PERF203
+            msg = str(e)
+            transient = any(m in msg for m in _TRANSIENT_MARKERS)
+            if not transient or attempt == _TRANSIENT_RETRIES:
+                raise
+            logger.warning(
+                "Transient runtime error in iteration block (attempt %d/%d): %s",
+                attempt + 1, _TRANSIENT_RETRIES, msg.splitlines()[0],
+            )
+            if not saved:
+                saved = True
+                try:  # readback uses only cached transfer paths
+                    log_manager.save_checkpoint(max(step - 1, 0), state, adapt=adapt)
+                    logger.warning("Best-effort checkpoint saved before retrying")
+                except Exception as save_err:  # noqa: BLE001
+                    logger.warning("Best-effort checkpoint failed: %s", save_err)
+            time.sleep(_TRANSIENT_BACKOFF_S)
 
 
 def make_iteration_block(cfg: Config, mcmc_step_fn, training_step):
@@ -93,6 +135,11 @@ def make_iteration_block(cfg: Config, mcmc_step_fn, training_step):
     compiled: dict[int, object] = {}
 
     def block(state, key, pmoves, t, length: int):
+        # NOTE: blocks 1 and 2 may compile *different* executables for the same
+        # length — donated outputs can come back with different layouts than
+        # the freshly device_put inputs, and jit keys on input layouts. Both
+        # land in the persistent compilation cache, so only fresh configs pay
+        # twice.
         if length not in compiled:
 
             def run(state, key, pmoves, t):
@@ -131,8 +178,15 @@ def train(cfg: Config) -> None:
     network = model.apply  # natively batched: accepts [batch, nelec, 2] directly
     # The MCMC sweep uses the vmapped per-config network: inside the fused
     # iteration block XLA schedules it measurably better than the batched apply
-    # (the loss/KFAC paths stay natively batched, where batching wins).
-    mcmc_network = jax.vmap(network, in_axes=(None, 0))
+    # (the loss/KFAC paths stay natively batched, where batching wins).  The
+    # "batched" override feeds the batched apply to the sweep instead — with
+    # DEEPHALL_ATTENTION_IMPL=bm/auto that routes the sweep's 10 forwards
+    # through the lane-filling batch-minor attention, which the vmapped
+    # per-config network can never trigger (it traces at ndim=2).
+    if os.environ.get("DEEPHALL_MCMC_NETWORK", "vmap") == "batched":
+        mcmc_network = network
+    else:
+        mcmc_network = jax.vmap(network, in_axes=(None, 0))
 
     sample_config = jnp.zeros((nelec, 2))
     mcmc_step_fn = mcmc.make_mcmc_step(mcmc_network, steps=cfg.mcmc.steps)
@@ -228,8 +282,11 @@ def train(cfg: Config) -> None:
                     profiling = False
                     logger.info("Saved profiler trace to %s", cfg.log.profile_dir)
             block_start = time.perf_counter()
-            state, key, pmoves_dev, t_dev, (packed_stats, pmove) = iteration_block(
-                state, key, pmoves_dev, t_dev, length
+            state, key, pmoves_dev, t_dev, (packed_stats, pmove) = _run_block_resilient(
+                iteration_block, state, key, pmoves_dev, t_dev, length,
+                log_manager=log_manager,
+                adapt={"pmoves": pmoves_dev, "t": t_dev},
+                step=step,
             )
             all_stats = unpack_complex(jax.device_get(packed_stats))
             pmove_host = np.asarray(jax.device_get(pmove))

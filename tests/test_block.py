@@ -64,6 +64,26 @@ def test_width_adaptation_matches_reference_logic():
         assert abs(float(width) - widths[step]) < 1e-6, step
 
 
+def test_mcmc_sweep_batched_network_matches_vmapped():
+    """The sweep driven by the natively-batched apply equals the vmapped one.
+
+    ``DEEPHALL_MCMC_NETWORK=batched`` (train.py) swaps the sweep's network from
+    ``vmap(model.apply)`` to the batched ``model.apply`` so the batch-minor
+    attention lowering can trigger inside the sweep; the walker trajectory must
+    not depend on which surface is used.
+    """
+    cfg, _, _, state = _setup()
+    model = make_network(cfg.system, cfg.network)
+    key = jax.random.PRNGKey(3)
+    width = jnp.asarray(0.3)
+    vmapped = mcmc.make_mcmc_step(jax.vmap(model.apply, in_axes=(None, 0)), steps=4)
+    batched = mcmc.make_mcmc_step(model.apply, steps=4)
+    data_v, pmove_v = jax.jit(vmapped)(state.params, state.data, key, width)
+    data_b, pmove_b = jax.jit(batched)(state.params, state.data, key, width)
+    assert np.allclose(np.asarray(data_v), np.asarray(data_b), atol=1e-5)
+    assert abs(float(pmove_v) - float(pmove_b)) < 1e-6
+
+
 def test_block_partitioning_invariance():
     """Running 6 iterations as 6x1, 2x3 or 1x6 blocks gives identical results."""
     outcomes = []

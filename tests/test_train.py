@@ -132,3 +132,53 @@ def test_width_trajectory_survives_resume(tmp_path: Path):
     assert int(t_a) == int(t_b) == 8
     # The interrupted run actually adapted (otherwise the assert is vacuous).
     assert float(state_b.mcmc_width) != 2.0
+
+
+def test_resilient_block_retries_transient_runtime_errors(monkeypatch):
+    """A transient compile-service outage must not kill a production run.
+
+    Observed failure mode on the tunnelled TPU runtime: the remote compile
+    service restarts mid-run and a layout-driven block-2 recompile dies with
+    "remote_compile: Connection refused" while device state stays healthy
+    (runs/prod_jain37). The driver retries and best-effort checkpoints first.
+    """
+    import importlib
+
+    # `import deephall_tpu.train as m` resolves to the `train` *function*
+    # re-exported by the package __init__; go through the module registry.
+    train_mod = importlib.import_module("deephall_tpu.train")
+    _run_block_resilient = train_mod._run_block_resilient
+
+    monkeypatch.setattr(train_mod, "_TRANSIENT_BACKOFF_S", 0.0)
+    calls = {"n": 0}
+    saves = []
+
+    def flaky_block(state, key, pmoves, t, length):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise jax.errors.JaxRuntimeError(
+                "UNAVAILABLE: http://127.0.0.1:8093/remote_compile: transport: "
+                "Connection Failed: Connect error: Connection refused"
+            )
+        return state, key, pmoves, t, ("stats", "pmove")
+
+    class FakeManager:
+        def save_checkpoint(self, step, state, adapt=None):
+            saves.append(step)
+
+    out = _run_block_resilient(
+        flaky_block, "state", "key", "pm", "t", 10,
+        log_manager=FakeManager(), adapt={}, step=40,
+    )
+    assert out[4] == ("stats", "pmove")
+    assert calls["n"] == 3
+    assert saves == [39]  # checkpointed once, before the first retry
+
+    def fatal_block(state, key, pmoves, t, length):
+        raise jax.errors.JaxRuntimeError("INTERNAL: genuine compiler bug")
+
+    with pytest.raises(jax.errors.JaxRuntimeError, match="genuine"):
+        _run_block_resilient(
+            fatal_block, "state", "key", "pm", "t", 10,
+            log_manager=FakeManager(), adapt={}, step=0,
+        )
