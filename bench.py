@@ -19,6 +19,7 @@ measured against this framework's round-1 first recorded value
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -65,9 +66,14 @@ def measure(compute_l2: bool) -> tuple[float, float]:
     )
     width = jax.device_put(jnp.asarray(cfg.mcmc.width), rep_sharding)
 
-    mcmc_step_fn = make_mcmc_step(
-        jax.vmap(model.apply, in_axes=(None, 0)), steps=cfg.mcmc.steps
-    )
+    # Same sweep-network selection as the training driver (train.py): the
+    # "batched" override routes the sweep through the natively-batched apply so
+    # the batch-minor attention lowering can trigger inside the sweep.
+    if os.environ.get("DEEPHALL_MCMC_NETWORK", "vmap") == "batched":
+        mcmc_network = model.apply
+    else:
+        mcmc_network = jax.vmap(model.apply, in_axes=(None, 0))
+    mcmc_step_fn = make_mcmc_step(mcmc_network, steps=cfg.mcmc.steps)
     opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample)
     opt_state = jax.jit(opt_init)(params, jax.random.PRNGKey(2), data)
 
