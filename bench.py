@@ -9,7 +9,8 @@ JSON line.
 Two modes are measured, both on the forward-Laplacian jet pipeline: the
 headline ``value`` has the optional L^2 observable off (energy/Lz/Lz^2 exact),
 and ``l2_every_step_its_per_sec`` is the reference-parity default that also
-computes L^2 each step via three extra jet directions.
+computes L^2 each step via two extra jet directions (the third coincides with
+the Lz one).
 
 The reference publishes no throughput numbers (BASELINE.md); ``vs_baseline`` is
 measured against this framework's round-1 first recorded value
@@ -33,8 +34,16 @@ BLOCK = 10
 MEASURE_BLOCKS = 3
 
 
-def measure(compute_l2: bool) -> tuple[float, float]:
-    """Measure iterations/sec of the fused production block; returns (it/s, energy)."""
+def build_production_block(compute_l2: bool, block_size: int = BLOCK):
+    """Build the fused production block and its initial device state.
+
+    Shared by ``bench.py``, ``scripts/capture_trace.py`` and
+    ``scripts/flops_count.py`` so the three measurement surfaces always
+    construct the identical program — including the ``DEEPHALL_MCMC_NETWORK``
+    sweep-network knob the training driver honors.
+
+    Returns ``(cfg, block, state, key, pmoves, t)``.
+    """
     from deephall_tpu import optimizers, parallel
     from deephall_tpu.config import Config
     from deephall_tpu.mcmc import make_mcmc_step
@@ -49,7 +58,7 @@ def measure(compute_l2: bool) -> tuple[float, float]:
     cfg.system.compute_l2 = compute_l2
     cfg.batch_size = 3360
     cfg.optim.optimizer = "kfac"
-    cfg.optim.block_size = BLOCK
+    cfg.optim.block_size = block_size
 
     mesh = parallel.get_mesh()
     data_sharding = NamedSharding(mesh, P(parallel.DATA_AXIS))
@@ -82,6 +91,12 @@ def measure(compute_l2: bool) -> tuple[float, float]:
     key = jax.random.PRNGKey(3)
     pmoves = jax.device_put(jnp.zeros(cfg.mcmc.adapt_frequency), rep_sharding)
     t = jax.device_put(jnp.zeros((), jnp.int32), rep_sharding)
+    return cfg, block, state, key, pmoves, t
+
+
+def measure(compute_l2: bool) -> tuple[float, float]:
+    """Measure iterations/sec of the fused production block; returns (it/s, energy)."""
+    _, block, state, key, pmoves, t = build_production_block(compute_l2)
 
     # Warmup twice: the first call compiles for the initial (host-placed) input
     # shardings; its outputs carry the jit-chosen shardings, so the second call

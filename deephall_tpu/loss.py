@@ -22,7 +22,6 @@ import enum
 from collections.abc import Callable
 
 import jax
-import numpy as np
 from jax import numpy as jnp
 
 from deephall_tpu.config import System
@@ -106,7 +105,7 @@ def make_loss_fn(
 
     When ``model`` is the Psiformer, the local energy uses the forward-Laplacian
     pipeline — one second-order forward pass instead of 2N Hessian tangent
-    sweeps; ``L^2`` (observable or penalty) adds three jet directions rather
+    sweeps; ``L^2`` (observable or penalty) adds two jet directions rather
     than falling back to the full Hessian.  Other networks (Laughlin inference)
     use the per-config Hessian path under ``vmap``.
     """
@@ -165,22 +164,21 @@ def make_loss_and_capture_fn(
         ``(params, data) -> (stats, grads, sown, dy)`` where ``sown``/``dy``
         are the raw KFAC collection trees (layer inputs / tap cotangents).
     """
-    from deephall_tpu.networks.blocks import KFAC_IN, KFAC_TAPS
+    from deephall_tpu.networks.blocks import (
+        FISHER_COTANGENT,
+        KFAC_IN,
+        KFAC_TAPS,
+        zero_taps,
+    )
 
     batch_local_energy = forward_laplacian_local_energy(model, system)
-    sqrt2 = float(np.sqrt(2.0))
 
     def loss_grad_capture(params: ArrayTree, data: jnp.ndarray):
         el, other_observables = batch_local_energy(params, data)
         stats, diff = stats_and_clipped_diff(system, el, other_observables)
         w = vjp_weights(diff)
 
-        def shape_fn(p, d):
-            _, aux = model.apply(dict(p), d, mutable=[KFAC_TAPS])
-            return aux[KFAC_TAPS]
-
-        taps_struct = jax.eval_shape(shape_fn, params, data)
-        taps0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), taps_struct)
+        taps0 = zero_taps(model, params, data)
 
         def f(p, taps):
             variables = dict(p)
@@ -192,7 +190,9 @@ def make_loss_and_capture_fn(
         # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
         grads, _ = pullback((w.real, w.imag))
         # Exact-Fisher sensitivities of sqrt(2) sum_b Re log psi_b.
-        _, dy = pullback((jnp.full_like(w.real, sqrt2), jnp.zeros_like(w.imag)))
+        _, dy = pullback(
+            (jnp.full_like(w.real, FISHER_COTANGENT), jnp.zeros_like(w.imag))
+        )
         return stats, jax.tree.map(jnp.nan_to_num, grads), sown, dy
 
     return loss_grad_capture

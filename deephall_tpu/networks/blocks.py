@@ -34,6 +34,27 @@ from deephall_tpu.geometry import chord_distances, spinors
 KFAC_IN = "kfac_in"  # sown layer inputs, folded to [repeats, fan_in]
 KFAC_TAPS = "kfac_taps"  # additive output taps, folded to [repeats, fan_out]
 
+# Cotangent that turns tap sensitivities into exact-Fisher factors: the
+# predictive distribution is a scalar Gaussian over Re log psi with variance
+# 1/2, so the Fisher is E[g g^T] with g = sqrt(2) d(Re log psi)/d(tap).
+FISHER_COTANGENT = math.sqrt(2.0)
+
+
+def zero_taps(model, params, data):
+    """Zero-filled KFAC tap collection matching ``model.apply``'s tap shapes.
+
+    Shared by the fused loss+capture estimator (``loss.py``) and the
+    standalone KFAC capture (``optimizers/kfac.py``) so the tap layout and
+    discovery logic cannot drift between the two curvature paths.
+    """
+
+    def shape_fn(p, d):
+        _, aux = model.apply(dict(p), d, mutable=[KFAC_TAPS])
+        return aux[KFAC_TAPS]
+
+    struct = jax.eval_shape(shape_fn, params, data)
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), struct)
+
 default_kernel_init = nn.initializers.lecun_normal()
 
 # Attention contraction lowering: "vpu" (broadcast-multiply-reduce), "einsum"

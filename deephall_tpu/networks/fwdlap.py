@@ -129,6 +129,28 @@ def _attention(p: dict, num_heads: int, t: Jet) -> Jet:
     )
 
 
+def _bm_softmax_chain(q, k, v):
+    """Logits → softmax → value contraction of the batch-minor attention jet.
+
+    Inputs and output are ``[T/S, H, dh, c, B]`` BMJets. Shared by the
+    per-attention relayout path (``_attention_tail_bm``) and the fullbm tower
+    (``_attention_bm_full``) so the softmax-jet algebra lives once.
+    """
+    # [T, H, dh, c, B] x [S, H, dh, c, B] -> [T, S, H, c, B]
+    logits = fwdlap.bm_bilinear(
+        lambda a, b: jnp.sum(a[:, None] * b[None], axis=-3), q, k
+    )
+    c0 = jnp.max(logits.x, axis=1, keepdims=True)  # constant at the lin. point
+    e = fwdlap.bm_elementwise(jnp.exp, fwdlap.bm_shift(logits, -c0))
+    s = fwdlap.bm_linear(lambda z: jnp.sum(z, axis=1, keepdims=True), e)
+    r = fwdlap.bm_elementwise(jnp.reciprocal, s)
+    w = fwdlap.bm_bilinear(lambda a, b: a * b, e, r)
+    # [T, S, H, c, B] x [S, H, dh, c, B] -> [T, H, dh, c, B]
+    return fwdlap.bm_bilinear(
+        lambda a, b: jnp.sum(a[..., None, :, :] * b[None], axis=1), w, v
+    )
+
+
 def _attention_tail_bm(p: dict, q: Jet, k: Jet, v: Jet) -> Jet:
     """Scaled-dot-product attention jet in the batch-minor layout.
 
@@ -140,20 +162,7 @@ def _attention_tail_bm(p: dict, q: Jet, k: Jet, v: Jet) -> Jet:
     qb, batch_shape = fwdlap.to_bm(q, 3)  # [T, H, dh, c, B]
     kb, _ = fwdlap.to_bm(k, 3)
     vb, _ = fwdlap.to_bm(v, 3)
-
-    # [T, H, dh, c, B] x [S, H, dh, c, B] -> [T, S, H, c, B]
-    logits = fwdlap.bm_bilinear(
-        lambda a, b: jnp.sum(a[:, None] * b[None], axis=-3), qb, kb
-    )
-    c0 = jnp.max(logits.x, axis=1, keepdims=True)  # constant at the lin. point
-    e = fwdlap.bm_elementwise(jnp.exp, fwdlap.bm_shift(logits, -c0))
-    s = fwdlap.bm_linear(lambda z: jnp.sum(z, axis=1, keepdims=True), e)
-    r = fwdlap.bm_elementwise(jnp.reciprocal, s)
-    w = fwdlap.bm_bilinear(lambda a, b: a * b, e, r)
-    # [T, S, H, c, B] x [S, H, dh, c, B] -> [T, H, dh, c, B]
-    attn = fwdlap.bm_bilinear(
-        lambda a, b: jnp.sum(a[..., None, :, :] * b[None], axis=1), w, vb
-    )
+    attn = _bm_softmax_chain(qb, kb, vb)
     attn_std = fwdlap.from_bm(attn, batch_shape)  # [*B, T, H, dh]
     kernel = p["out"]["kernel"]
     return fwdlap.linear(
@@ -211,17 +220,7 @@ def _attention_bm_full(p: dict, num_heads: int, t):
     v = heads(_dense_bm(p["value"], t))
     q = fwdlap.bm_linear(lambda z: z / jnp.sqrt(head_dim).astype(z.dtype), q)
 
-    logits = fwdlap.bm_bilinear(
-        lambda a, b: jnp.sum(a[:, None] * b[None], axis=-3), q, k
-    )  # [T, S, H, c, B]
-    c0 = jnp.max(logits.x, axis=1, keepdims=True)
-    e = fwdlap.bm_elementwise(jnp.exp, fwdlap.bm_shift(logits, -c0))
-    s = fwdlap.bm_linear(lambda z: jnp.sum(z, axis=1, keepdims=True), e)
-    r = fwdlap.bm_elementwise(jnp.reciprocal, s)
-    w = fwdlap.bm_bilinear(lambda a, b: a * b, e, r)
-    attn = fwdlap.bm_bilinear(
-        lambda a, b: jnp.sum(a[..., None, :, :] * b[None], axis=1), w, v
-    )  # [T, H, dh, c, B]
+    attn = _bm_softmax_chain(q, k, v)  # [T, H, dh, c, B]
 
     kernel = p["out"]["kernel"].reshape(num_heads * head_dim, -1)
     folded = fwdlap.bm_linear(

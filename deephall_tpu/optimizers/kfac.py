@@ -41,7 +41,12 @@ from flax import traverse_util
 from jax import numpy as jnp
 
 from deephall_tpu.config import OptimizerKfac
-from deephall_tpu.networks.blocks import KFAC_IN, KFAC_TAPS
+from deephall_tpu.networks.blocks import (
+    FISHER_COTANGENT,
+    KFAC_IN,
+    KFAC_TAPS,
+    zero_taps,
+)
 from deephall_tpu.types import (
     ArrayTree,
     CheckpointState,
@@ -104,7 +109,6 @@ def make_kfac_training_step(
     damping = optim_cfg.damping
     ema = optim_cfg.curvature_ema
     norm_constraint = optim_cfg.norm_constraint
-    sqrt2 = np.sqrt(2.0)
 
     def _discover(params: ArrayTree) -> tuple[list[_LayerSpec], dict, dict]:
         """Shape-capture pass: find instrumented layers and tap/input shapes."""
@@ -138,18 +142,13 @@ def make_kfac_training_step(
         ``[batch * repeats, fan]`` matrices.
         """
 
-        def shape_fn(p, d):
-            _, aux = model.apply(dict(p), d, mutable=[KFAC_TAPS])
-            return aux[KFAC_TAPS]
-
-        taps_struct = jax.eval_shape(shape_fn, params, data)
-        taps0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), taps_struct)
+        taps0 = zero_taps(model, params, data)
 
         def f(taps):
             variables = dict(params)
             variables[KFAC_TAPS] = taps
             out, aux = model.apply(variables, data, mutable=[KFAC_IN])
-            return jnp.sum(out.real) * sqrt2, aux[KFAC_IN]
+            return jnp.sum(out.real) * FISHER_COTANGENT, aux[KFAC_IN]
 
         _, pullback, sown = jax.vjp(f, taps0, has_aux=True)
         (dy,) = pullback(jnp.ones(()))

@@ -74,6 +74,15 @@ def _run_block_resilient(iteration_block, state, key, pmoves, t, length, *,
     refused" after a clean block 1). Retry with a flat backoff; on the first
     failure, best-effort checkpoint the still-readable device state so even a
     permanent outage costs at most one block.
+
+    Scope: this protects against *compile-phase* failures, which raise before
+    the block executes — the donated input buffers are still alive, so both the
+    checkpoint and the retry are sound. An execution-phase failure may have
+    consumed the donation; that case is detected and re-raised immediately.
+    The checkpoint is single-process only: ``save_checkpoint`` gathers sharded
+    data with a cross-process collective, and issuing one from a per-process
+    exception handler while peers are still inside the block's collectives
+    would desync a multi-host run.
     """
     saved = False
     for attempt in range(_TRANSIENT_RETRIES + 1):
@@ -82,16 +91,25 @@ def _run_block_resilient(iteration_block, state, key, pmoves, t, length, *,
         except jax.errors.JaxRuntimeError as e:  # noqa: PERF203
             msg = str(e)
             transient = any(m in msg for m in _TRANSIENT_MARKERS)
-            if not transient or attempt == _TRANSIENT_RETRIES:
+            donated = any(
+                getattr(x, "is_deleted", lambda: False)()
+                for x in jax.tree.leaves((state, key, pmoves, t))
+            )
+            if not transient or donated or attempt == _TRANSIENT_RETRIES:
+                if donated:
+                    logger.error(
+                        "Transient runtime error arrived after the block consumed "
+                        "its donated inputs; cannot retry: %s", msg.splitlines()[0]
+                    )
                 raise
             logger.warning(
                 "Transient runtime error in iteration block (attempt %d/%d): %s",
                 attempt + 1, _TRANSIENT_RETRIES, msg.splitlines()[0],
             )
-            if not saved:
+            if not saved and step > 0 and jax.process_count() == 1:
                 saved = True
                 try:  # readback uses only cached transfer paths
-                    log_manager.save_checkpoint(max(step - 1, 0), state, adapt=adapt)
+                    log_manager.save_checkpoint(step - 1, state, adapt=adapt)
                     logger.warning("Best-effort checkpoint saved before retrying")
                 except Exception as save_err:  # noqa: BLE001
                     logger.warning("Best-effort checkpoint failed: %s", save_err)

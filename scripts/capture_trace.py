@@ -26,54 +26,11 @@ def main() -> None:
     parser.add_argument("--blocks", type=int, default=2)
     args = parser.parse_args()
 
-    from bench import BLOCK, measure  # noqa: F401  (shares setup path)
+    from bench import BLOCK, build_production_block
     from deephall_tpu.utils import setup_runtime
 
     setup_runtime()
-
-    # Re-create the bench setup inline so we control when the trace starts.
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from deephall_tpu import optimizers, parallel
-    from deephall_tpu.config import Config
-    from deephall_tpu.mcmc import make_mcmc_step
-    from deephall_tpu.networks import make_network
-    from deephall_tpu.train import init_guess, make_iteration_block
-    from deephall_tpu.types import CheckpointState
-
-    cfg = Config()
-    cfg.seed = 42
-    cfg.system.nspins = (6, 0)
-    cfg.system.flux = 15
-    cfg.system.compute_l2 = args.l2
-    cfg.batch_size = 3360
-    cfg.optim.optimizer = "kfac"
-    cfg.optim.block_size = BLOCK
-
-    mesh = parallel.get_mesh()
-    data_sharding = NamedSharding(mesh, P(parallel.DATA_AXIS))
-    rep_sharding = NamedSharding(mesh, P())
-    nelec = sum(cfg.system.nspins)
-    model = make_network(cfg.system, cfg.network)
-    sample = jnp.zeros((nelec, 2))
-    params = jax.device_put(
-        jax.jit(model.init)(jax.random.PRNGKey(0), sample), rep_sharding
-    )
-    data = jax.device_put(
-        init_guess(jax.random.PRNGKey(1), cfg.batch_size, nelec), data_sharding
-    )
-    width = jax.device_put(jnp.asarray(cfg.mcmc.width), rep_sharding)
-    mcmc_step_fn = make_mcmc_step(
-        jax.vmap(model.apply, in_axes=(None, 0)), steps=cfg.mcmc.steps
-    )
-    opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample)
-    opt_state = jax.jit(opt_init)(params, jax.random.PRNGKey(2), data)
-    block = make_iteration_block(cfg, mcmc_step_fn, training_step)
-    state = CheckpointState(params, data, opt_state, width)
-    key = jax.random.PRNGKey(3)
-    pmoves = jax.device_put(jnp.zeros(cfg.mcmc.adapt_frequency), rep_sharding)
-    t = jax.device_put(jnp.zeros((), jnp.int32), rep_sharding)
+    _, block, state, key, pmoves, t = build_production_block(args.l2)
 
     for _ in range(2):  # compile both input-sharding signatures
         state, key, pmoves, t, outs = block(state, key, pmoves, t, BLOCK)

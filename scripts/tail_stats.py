@@ -35,9 +35,19 @@ def tail_stats(
     rows = rows[-tail:]
     values = np.array([float(r[col]) for r in rows])
     values = values[np.isfinite(values)]  # spike rows can log NaN observables
+    if values.size == 0:
+        raise ValueError(f"no finite values in column {col!r} of {path}")
     median = np.median(values)
     keep = np.abs(values - median) <= window
     kept = values[keep]
+    if kept.size == 0:
+        raise ValueError(
+            f"--window {window} around the median {median:.5g} keeps no rows; "
+            f"widen it (column {col!r} spans "
+            f"[{values.min():.5g}, {values.max():.5g}])"
+        )
+    # Fewer rows than blocks would produce empty splits (NaN block means).
+    blocks = max(2, min(blocks, kept.size))
     block_means = [b.mean() for b in np.array_split(kept, blocks)]
     return {
         "col": col,

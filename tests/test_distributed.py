@@ -193,3 +193,20 @@ def test_two_process_training_end_to_end(tmp_path: Path):
     )
     energies1 = _energies(save1 / "train_stats.csv")
     np.testing.assert_allclose(energies1, energies2[:6], rtol=1e-5, atol=1e-5)
+
+    # Phase 4: hybrid topology — 2 processes x 2 virtual devices each (the
+    # DCN-across-hosts x ICI-within-host layout of a real pod). The global
+    # statistics must again be identical: the mesh is 1-D over all 4 devices
+    # and sampling is device-count independent (partitionable threefry).
+    save4 = tmp_path / "two_proc_two_dev"
+    script4 = tmp_path / "train_hybrid.py"
+    script4.write_text(TRAIN_CHILD.format(repo=repo, iters=6, save=str(save4)))
+    outs = _spawn(
+        script4, 2, port + 2,
+        extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=2"},
+    )
+    assert all("TRAIN_DONE 0 2" in out or "TRAIN_DONE 1 2" in out for _, out, _ in outs)
+    with np.load(save4 / "ckpt_000005.npz", allow_pickle=True) as f:
+        assert f["data"].shape == (64, 3, 2)
+    energies4 = _energies(save4 / "train_stats.csv")
+    np.testing.assert_allclose(energies4, energies2[:6], rtol=1e-5, atol=1e-5)

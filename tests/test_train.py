@@ -174,6 +174,17 @@ def test_resilient_block_retries_transient_runtime_errors(monkeypatch):
     assert calls["n"] == 3
     assert saves == [39]  # checkpointed once, before the first retry
 
+    # At step 0 nothing has been trained yet: retry, but never write a
+    # checkpoint labeled as a completed iteration.
+    calls["n"] = 0
+    saves.clear()
+    out = _run_block_resilient(
+        flaky_block, "state", "key", "pm", "t", 10,
+        log_manager=FakeManager(), adapt={}, step=0,
+    )
+    assert out[4] == ("stats", "pmove")
+    assert saves == []
+
     def fatal_block(state, key, pmoves, t, length):
         raise jax.errors.JaxRuntimeError("INTERNAL: genuine compiler bug")
 
