@@ -111,11 +111,14 @@ def cli(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv or sys.argv[1:])
 
     init_logging()
+    parallel.initialize_distributed()  # multi-host: rendezvous before backend use
     cfg, model, params, data, width = load_run(args.ckpt)
     results = evaluate_observable(
         cfg, model, params, data, width, args.estimator, args.steps, args.mcmc_steps,
         args.seed,
     )
+    if jax.process_index() != 0:
+        return  # accumulators are replicated; process 0 owns the artifacts
     if args.out:
         np.savez(args.out, **results)
         logger.info("Saved %s", args.out)

@@ -210,3 +210,57 @@ def test_two_process_training_end_to_end(tmp_path: Path):
         assert f["data"].shape == (64, 3, 2)
     energies4 = _energies(save4 / "train_stats.csv")
     np.testing.assert_allclose(energies4, energies2[:6], rtol=1e-5, atol=1e-5)
+
+
+RUNNER_CHILD = """
+import sys
+sys.path.insert(0, {repo!r})
+import jax
+from deephall_tpu.observables import runner
+
+runner.cli([
+    {ckpt!r}, "--estimator", "density", "--steps", "4", "--seed", "1",
+    "--out", {out!r},
+])
+print("RUNNER_DONE", jax.process_index(), jax.process_count(), flush=True)
+"""
+
+
+def test_two_process_observables_runner(tmp_path: Path):
+    """The analysis surface is multi-host too: the standalone runner restores a
+    checkpoint, walks the chain on a 2-process global mesh, and process 0 alone
+    writes the digest — which must equal the single-process result (sampling is
+    device-count independent)."""
+    import numpy as np
+
+    repo = str(Path(__file__).resolve().parent.parent)
+
+    # A tiny converged-enough checkpoint (single process).
+    save = tmp_path / "train"
+    script = tmp_path / "train3.py"
+    script.write_text(TRAIN_CHILD.format(repo=repo, iters=3, save=str(save)))
+    _spawn(script, 1, 0)
+    ckpt = str(save / "ckpt_000002.npz")
+
+    # Single-process reference digest.
+    out1 = str(tmp_path / "density_1proc.npz")
+    script1 = tmp_path / "runner1.py"
+    script1.write_text(RUNNER_CHILD.format(repo=repo, ckpt=ckpt, out=out1))
+    _spawn(script1, 1, 0)
+
+    # Two processes, one global mesh.
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    out2 = str(tmp_path / "density_2proc.npz")
+    script2 = tmp_path / "runner2.py"
+    script2.write_text(RUNNER_CHILD.format(repo=repo, ckpt=ckpt, out=out2))
+    outs = _spawn(script2, 2, port)
+    assert any("RUNNER_DONE 0 2" in out for _, out, _ in outs)
+    assert any("RUNNER_DONE 1 2" in out for _, out, _ in outs)
+    # Only process 0 writes the artifact.
+    saved_logs = [err for _, _, err in outs if "Saved" in err]
+    assert len(saved_logs) == 1
+
+    with np.load(out1) as a, np.load(out2) as b:
+        np.testing.assert_allclose(a["map"], b["map"], rtol=1e-6, atol=1e-6)
