@@ -87,7 +87,9 @@ JET_ATTENTION_IMPL = os.environ.get("DEEPHALL_JET_ATTENTION_IMPL", "bm")
 # relayouts (JET_ATTENTION_IMPL above); "fullbm" runs the whole tower — dense
 # layers, layernorms, attention, orbital/envelope contraction — in the
 # batch-minor layout, relaying out once at the input features and once at the
-# determinant.  A/B measured on hardware (PERF_NOTES round 3).
+# determinant; "tb" is token-major ([T, B, D] spatial) so the channel tensors
+# tile as (B, D) with no sublane padding from the T electron tokens.  A/B
+# measured on hardware (PERF_NOTES round 3).
 JET_TOWER_IMPL = os.environ.get("DEEPHALL_JET_TOWER_IMPL", "std")
 
 
@@ -307,7 +309,24 @@ def _tower_fullbm(model, p: dict, h0: Jet, env: Jet, nspins) -> Jet:
     return fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), contracted)
 
 
-def _featured_orbitals(p: dict, t: Jet, nspins: tuple[int, int]) -> Jet:
+def _featured_orbitals(
+    p: dict, t: Jet, nspins: tuple[int, int], token_axis: int = -2
+) -> Jet:
+    """Per-spin-sector complex orbital projections.
+
+    ``token_axis`` is the electron axis of the tower activations: ``-2`` for
+    the standard ``[*B, T, D]`` layout, ``-3`` for the token-major
+    ``[T, B, D]`` one (``_tower_tb``).
+    """
+    if token_axis == -2:
+        def slicer(v, lo, hi):
+            return v[..., lo:hi, :]
+        cat_axis = -4
+    else:
+        assert token_axis == -3, token_axis
+        def slicer(v, lo, hi):
+            return v[..., lo:hi, :, :]
+        cat_axis = -5
     sectors = []
     bounds = [(0, nspins[0]), (nspins[0], nspins[0] + nspins[1])]
     index = 0
@@ -319,7 +338,7 @@ def _featured_orbitals(p: dict, t: Jet, nspins: tuple[int, int]) -> Jet:
         index += 2
         kernel = wr["kernel"] + 1j * wi["kernel"]
         bias = wr["bias"] + 1j * wi["bias"]
-        h_alpha = fwdlap.linear(lambda v, lo=lo, hi=hi: v[..., lo:hi, :], t)
+        h_alpha = fwdlap.linear(lambda v, lo=lo, hi=hi: slicer(v, lo, hi), t)
         sectors.append(
             fwdlap.linear(
                 lambda v, kernel=kernel: jnp.tensordot(
@@ -332,8 +351,72 @@ def _featured_orbitals(p: dict, t: Jet, nspins: tuple[int, int]) -> Jet:
     if len(sectors) == 1:
         return sectors[0]
     return Jet(
-        *(jnp.concatenate(parts, axis=-4) for parts in zip(*sectors))
+        *(jnp.concatenate(parts, axis=cat_axis) for parts in zip(*sectors))
     )
+
+
+def _attention_tb(p: dict, num_heads: int, t: Jet) -> Jet:
+    """Attention jet for the token-major tower (spatial ``[T, B, D]``)."""
+    head_dim = t.x.shape[-1] // num_heads
+    q = _dense_general_last(p["query"], t)  # [T, B, H, dh]
+    k = _dense_general_last(p["key"], t)
+    v = _dense_general_last(p["value"], t)
+    q = fwdlap.linear(lambda z: z / jnp.sqrt(head_dim).astype(z.dtype), q)
+    attn = _bm_softmax_chain(
+        fwdlap.to_bm_tb(q), fwdlap.to_bm_tb(k), fwdlap.to_bm_tb(v)
+    )
+    attn_tb = fwdlap.from_bm_tb(attn)  # [T, B, H, dh]
+    kernel = p["out"]["kernel"]
+    return fwdlap.linear(
+        lambda z: jnp.tensordot(z, kernel, axes=[[-2, -1], [0, 1]]),
+        attn_tb,
+        bias=p["out"]["bias"],
+    )
+
+
+def _tower_tb(model, p: dict, h0: Jet, env: Jet, nspins) -> Jet:
+    """Psiformer tower + orbital construction in the token-major layout.
+
+    The standard layout's channel tensors carry spatial ``[B, T, D]``, whose
+    physical tile is ``(T, D)`` — T electron tokens pad the 8-sublane axis
+    (6/8 at N=6, 12/16 at N=12) on every elementwise access. Here the tower
+    runs with spatial ``[T, B, D]`` so the tiled minor dims are ``(B, D)``,
+    both saturated; dense, layernorm and the residual adds are axis(-1)
+    generic, and attention relays to the same batch-minor softmax chain as
+    the default path (one transpose either way). Gated by
+    ``DEEPHALL_JET_TOWER_IMPL=tb``; pinned against the standard tower in
+    ``tests/test_fwdlap.py``.
+    """
+    h = fwdlap.jet_moveaxis(h0, -2, -3)  # [B, T, F] -> [T, B, F]
+    tower = p["PsiformerLayers_0"]
+    h = _dense(tower["Dense_0"], h, use_bias=False)
+    for i in range(model.num_layers):
+        attn = _attention_tb(tower[f"MultiHeadAttention_{i}"], model.num_heads, h)
+        proj = _dense(tower[f"Dense_{2 * i + 1}"], attn, use_bias=False)
+        h = _layernorm(tower[f"LayerNorm_{2 * i}"], h, residual=proj)
+        mlp = fwdlap.elementwise(jnp.tanh, _dense(tower[f"Dense_{2 * i + 2}"], h))
+        h = _layernorm(tower[f"LayerNorm_{2 * i + 1}"], h, residual=mlp)
+
+    orb_params = p["Orbitals_0"]["featured_orbitals"]
+    orbitals = _featured_orbitals(orb_params, h, nspins, token_axis=-3)
+    # [N, B, F, ne, nd]
+
+    if model.orbital_type == OrbitalType.sparse:
+        lll = p["Orbitals_0"]["lll_weight"]
+        kernel = lll["kernel"].astype(orbitals.x.dtype)
+        orbitals = fwdlap.linear(
+            lambda v: jnp.tensordot(v, kernel, axes=[[-3], [0]]),
+            orbitals,
+            bias=lll.get("bias"),
+        )  # [N, B, ne, nd, n_orb]
+        orbitals = fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), orbitals)
+
+    env_tb = fwdlap.jet_moveaxis(env, -2, -3)  # [B, N, n_orb] -> [N, B, n_orb]
+    contracted = fwdlap.bilinear(
+        lambda o, e: jnp.sum(o * e[..., None, None], axis=-3), orbitals, env_tb
+    )  # [N, B, ne, nd]
+    contracted = fwdlap.jet_moveaxis(contracted, -4, -3)  # -> [B, N, ne, nd]
+    return fwdlap.linear(lambda v: jnp.moveaxis(v, -1, -3), contracted)
 
 
 def psiformer_logpsi_jet(
@@ -388,6 +471,8 @@ def psiformer_logpsi_jet(
 
     if JET_TOWER_IMPL == "fullbm" and data.ndim >= 3:
         phi_jet = _tower_fullbm(model, p, h0, env, model.nspins)
+    elif JET_TOWER_IMPL == "tb" and data.ndim == 3:
+        phi_jet = _tower_tb(model, p, h0, env, model.nspins)
     else:
         tower = p["PsiformerLayers_0"]
         h = _dense(tower["Dense_0"], h0, use_bias=False)

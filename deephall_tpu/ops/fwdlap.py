@@ -282,6 +282,51 @@ def from_bm(t: BMJet, batch_shape: tuple[int, ...]) -> Jet:
     return Jet(cvt(t.x), cvt_ch(t.j), cvt(t.l), cvt_ch(t.d))
 
 
+def jet_moveaxis(t: Jet, src: int, dst: int) -> Jet:
+    """Move one spatial axis across all four jet fields.
+
+    ``src``/``dst`` must be negative (spatial axes counted from the end), so
+    the same move applies to ``x``/``l`` (``[*S]``) and ``j``/``d``
+    (``[C, *S]``) alike.
+    """
+    assert src < 0 and dst < 0, (src, dst)
+    return Jet(
+        jnp.moveaxis(t.x, src, dst),
+        jnp.moveaxis(t.j, src, dst),
+        jnp.moveaxis(t.l, src, dst),
+        jnp.moveaxis(t.d, src, dst),
+    )
+
+
+def to_bm_tb(t: Jet) -> BMJet:
+    """Relayout a token-major attention jet to batch-minor.
+
+    Token-major spatial shape is ``[T, B, H, dh]`` (walker batch at ``-3``);
+    the result is the same ``[T, H, dh, c, B]`` layout :func:`to_bm` produces
+    from the standard ``[B, T, H, dh]`` — one transpose either way.
+    """
+
+    def cvt(a):  # [T, B, H, dh] -> [T, H, dh, 1, B]
+        return jnp.moveaxis(a, -3, -1)[..., None, :]
+
+    def cvt_ch(a):  # [C, T, B, H, dh] -> [T, H, dh, C, B]
+        return jnp.moveaxis(a, (0, -3), (-2, -1))
+
+    return BMJet(cvt(t.x), cvt_ch(t.j), cvt(t.l), cvt_ch(t.d))
+
+
+def from_bm_tb(t: BMJet) -> Jet:
+    """Inverse of :func:`to_bm_tb`: ``[T, H, dh, c, B]`` -> ``[T, B, H, dh]``."""
+
+    def cvt(a):  # [T, H, dh, 1, B] -> [T, B, H, dh]
+        return jnp.moveaxis(a[..., 0, :], -1, -3)
+
+    def cvt_ch(a):  # [T, H, dh, C, B] -> [C, T, B, H, dh]
+        return jnp.moveaxis(a, (-2, -1), (0, 2))
+
+    return Jet(cvt(t.x), cvt_ch(t.j), cvt(t.l), cvt_ch(t.d))
+
+
 def bm_shift(t: BMJet, c: jnp.ndarray) -> BMJet:
     """BM jet of ``x + c`` for a constant ``c``."""
     return BMJet(t.x + c, t.j, t.l, t.d)

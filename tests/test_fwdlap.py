@@ -139,9 +139,10 @@ def test_bm_jet_matches_vpu_jet(monkeypatch):
         )
 
 
+@pytest.mark.parametrize("tower_impl", ["fullbm", "tb"])
 @pytest.mark.parametrize("flux,nspins,orbital,ndets", CASES)
-def test_fullbm_tower_matches_std(flux, nspins, orbital, ndets, monkeypatch):
-    """The full batch-minor tower is a pure relayout of the standard jet tower."""
+def test_fullbm_tower_matches_std(flux, nspins, orbital, ndets, tower_impl, monkeypatch):
+    """fullbm and tb towers are pure relayouts of the standard jet tower."""
     import deephall_tpu.networks.fwdlap as nf
 
     system = System(flux=flux, nspins=nspins)
@@ -158,7 +159,7 @@ def test_fullbm_tower_matches_std(flux, nspins, orbital, ndets, monkeypatch):
     ref = jax.jit(lambda p, d: psiformer_logpsi_jet(model, p, d, compute_l2=True))(
         params, data
     )
-    monkeypatch.setattr(nf, "JET_TOWER_IMPL", "fullbm")
+    monkeypatch.setattr(nf, "JET_TOWER_IMPL", tower_impl)
     bm = jax.jit(lambda p, d: psiformer_logpsi_jet(model, p, d, compute_l2=True))(
         params, data
     )
