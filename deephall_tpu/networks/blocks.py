@@ -62,6 +62,13 @@ default_kernel_init = nn.initializers.lecun_normal()
 # "auto".  Overridable for benchmarking via DEEPHALL_ATTENTION_IMPL.
 ATTENTION_IMPL = os.environ.get("DEEPHALL_ATTENTION_IMPL", "vpu")
 
+# Forward tower layout: "std" keeps [*B, T, D] activations; "tb" (token-major,
+# batched inputs only) runs the tower with [T, *B, D] so the tiled minor dims
+# are (B, D) — the T electron tokens otherwise pad the 8-sublane axis on every
+# elementwise access (6/8 at N=6).  Mirrors DEEPHALL_JET_TOWER_IMPL=tb on the
+# jet side; parameter tree unchanged.
+FWD_TOWER_IMPL = os.environ.get("DEEPHALL_FWD_TOWER_IMPL", "std")
+
 
 def _sow_input(mdl: nn.Module, x2d: jnp.ndarray) -> None:
     if mdl.is_mutable_collection(KFAC_IN) and not mdl.is_initializing():
@@ -178,6 +185,7 @@ class MultiHeadAttention(nn.Module):
     """
 
     num_heads: int
+    tokens_leading: bool = False  # token-major tower layout [T, *B, D]
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -188,6 +196,22 @@ class MultiHeadAttention(nn.Module):
         value = DenseGeneral((self.num_heads, head_dim), name="value")(x)
 
         query = query / jnp.sqrt(head_dim).astype(x.dtype)
+        if self.tokens_leading:
+            # Token-major tower layout ([T, *B, D], see PsiformerLayers): same
+            # lane-filling softmax chain as the bm branch below, entered from a
+            # tokens-leading relayout.
+            b_shape = x.shape[1:-1]
+            t = x.shape[0]
+
+            def lanes(a):  # [T, *B, H, dh] -> [T, H, dh, B]
+                return jnp.moveaxis(a.reshape(t, -1, *a.shape[-2:]), 1, -1)
+
+            qt, kt, vt = lanes(query), lanes(key), lanes(value)
+            logits = jnp.sum(qt[:, None] * kt[None], axis=-2)
+            weights = jax.nn.softmax(logits, axis=1)
+            attn = jnp.sum(weights[..., None, :] * vt[None], axis=1)
+            attn = jnp.moveaxis(attn, -1, 1).reshape(t, *b_shape, *attn.shape[-3:-1])
+            return DenseGeneral(features, axis=(-2, -1), name="out")(attn)
         if x.ndim >= 3 and ATTENTION_IMPL in ("bm", "auto"):
             # Natively-batched fast path with the walker batch in the minor (lane)
             # dimension.  TPU maps the last axis to the 128-wide vector lanes; with

@@ -17,6 +17,7 @@ from flax import linen as nn
 from jax import numpy as jnp
 
 from deephall_tpu.config import OrbitalType
+from deephall_tpu.networks import blocks
 from deephall_tpu.networks.blocks import (
     Dense,
     Jastrow,
@@ -38,14 +39,24 @@ class PsiformerLayers(nn.Module):
     def __call__(self, electrons: jnp.ndarray, spins: jnp.ndarray):
         theta, phi = electrons[..., 0], electrons[..., 1]
         h_one = self.input_feature(theta, phi, spins)
+        # Token-major layout (env-gated): every dense/layernorm/residual op in
+        # the tower is axis(-1) generic, so moving the electron-token axis off
+        # the tiled sublane position is two cheap transposes at the ends.
+        tb = blocks.FWD_TOWER_IMPL == "tb" and electrons.ndim >= 3
+        if tb:
+            h_one = jnp.moveaxis(h_one, -2, 0)  # [*B, T, F] -> [T, *B, F]
         attention_dim = self.num_heads * self.heads_dim
         h_one = Dense(attention_dim, use_bias=False)(h_one)
         for _ in range(self.num_layers):
-            attn_out = MultiHeadAttention(num_heads=self.num_heads)(h_one)
+            attn_out = MultiHeadAttention(
+                num_heads=self.num_heads, tokens_leading=tb
+            )(h_one)
             h_one += Dense(attention_dim, use_bias=False)(attn_out)
             h_one = LayerNorm(epsilon=1e-5)(h_one)
             h_one += nn.tanh(Dense(attention_dim)(h_one))
             h_one = LayerNorm(epsilon=1e-5)(h_one)
+        if tb:
+            h_one = jnp.moveaxis(h_one, 0, -2)  # back to [*B, T, D]
         return h_one
 
     def input_feature(self, theta: jnp.ndarray, phi: jnp.ndarray, spins: jnp.ndarray):

@@ -140,6 +140,32 @@ def test_native_batching_matches_vmap():
         assert jnp.allclose(batched, per_sample, atol=1e-5), net.type
 
 
+def test_fwd_tower_tb_matches_std(monkeypatch):
+    """The token-major forward tower equals the standard batched forward."""
+    system = System(flux=6, nspins=(3, 0))
+    data = _sample(jax.random.PRNGKey(5), 7, 3)
+    for net in (
+        Network(type=NetworkType.psiformer),
+        Network(type=NetworkType.psiformer, orbital=OrbitalType.sparse),
+    ):
+        net.psiformer.num_heads = 2
+        net.psiformer.heads_dim = 4
+        net.psiformer.num_layers = 2
+        net.psiformer.determinants = 2
+        model = make_network(system, net)
+        params = jax.jit(model.init)(jax.random.PRNGKey(1), data[0])
+        std = model.apply(params, data)
+        monkeypatch.setattr(blocks, "FWD_TOWER_IMPL", "tb")
+        tb = model.apply(params, data)
+        monkeypatch.setattr(blocks, "FWD_TOWER_IMPL", "std")
+        assert jnp.allclose(tb, std, atol=1e-5), net.orbital
+        # The per-config protocol path (ndim=2) must be untouched by the knob.
+        monkeypatch.setattr(blocks, "FWD_TOWER_IMPL", "tb")
+        single = model.apply(params, data[0])
+        monkeypatch.setattr(blocks, "FWD_TOWER_IMPL", "std")
+        assert jnp.allclose(single, std[0], atol=1e-5)
+
+
 def test_attention_lowerings_agree(monkeypatch):
     """All three attention contraction lowerings produce the same numbers.
 
