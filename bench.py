@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -127,9 +129,66 @@ def measure(compute_l2: bool) -> tuple[float, float]:
     return sorted(rates)[1], float(stats["energy"].real[-1])
 
 
+# The image's sitecustomize consumes JAX_PLATFORMS before user code runs, so a
+# CPU-forced caller (tests) must re-force CPU via the config API inside the
+# probe too — otherwise the probe would initialise the TPU plugin regardless.
+_PROBE = (
+    "import os, jax; "
+    "cpu = 'cpu' in os.environ.get('JAX_PLATFORMS', ''); "
+    "jax.config.update('jax_platforms', 'cpu') if cpu else None; "
+    "import jax.numpy as jnp; "
+    "x = jnp.ones((128, 128)); print(float((x @ x).sum()))"
+)
+
+
+def wait_for_backend(budget_s: float | None = None, probe_timeout_s: float = 300.0):
+    """Block until the accelerator backend answers a tiny probe, or give up.
+
+    The tunnelled TPU runtime can be down transiently (hours-long axon outages
+    observed); a bench launched into a dead tunnel would otherwise hang forever
+    inside backend init and produce no JSON line at all.  The probe runs in a
+    subprocess so a wedged tunnel cannot hang *this* process, and is retried
+    until ``DEEPHALL_BENCH_WAIT_S`` (default 3600) is exhausted — then raises,
+    loudly, rather than printing a made-up number.
+    """
+    if budget_s is None:
+        budget_s = float(os.environ.get("DEEPHALL_BENCH_WAIT_S", "3600"))
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if proc.returncode == 0:
+                if attempt > 1:
+                    print(f"bench: backend healthy after {attempt} probes", file=sys.stderr)
+                return
+            detail = proc.stderr.decode(errors="replace").strip().splitlines()
+            detail = detail[-1] if detail else f"exit {proc.returncode}"
+        except subprocess.TimeoutExpired:
+            detail = f"probe timed out after {probe_timeout_s:.0f}s"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            raise RuntimeError(
+                f"accelerator backend unreachable after {attempt} probes "
+                f"({budget_s:.0f}s budget); last: {detail}"
+            )
+        print(
+            f"bench: backend not ready ({detail}); retrying, "
+            f"{remaining / 60:.0f} min left",
+            file=sys.stderr,
+        )
+        time.sleep(min(120.0, max(1.0, remaining)))
+
+
 def main() -> None:
     from deephall_tpu.utils import setup_runtime
 
+    wait_for_backend()
     setup_runtime()
     n_devices = len(jax.devices())
     fast_its, fast_energy = measure(compute_l2=False)
