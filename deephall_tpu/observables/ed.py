@@ -457,14 +457,32 @@ def main() -> None:  # pragma: no cover - thin CLI
     parser.add_argument("--interaction", default="coulomb")
     parser.add_argument("--two-lz", type=int, default=0)
     parser.add_argument("--states", type=int, default=6)
-    args = parser.parse_args()
-    res = ed_block(
-        args.nelec,
-        args.flux,
-        interaction=args.interaction,
-        two_lz=args.two_lz,
-        num_states=args.states,
+    parser.add_argument(
+        "--backend",
+        choices=["dense", "native"],
+        default="dense",
+        help="native = C++ matvec + Lanczos (ed_native.py), for large blocks",
     )
+    args = parser.parse_args()
+    if args.backend == "native":
+        from deephall_tpu.observables.ed_native import ed_ground_lanczos
+
+        res = ed_ground_lanczos(
+            args.nelec,
+            args.flux,
+            interaction=args.interaction,
+            two_lz=args.two_lz,
+            num_states=args.states,
+            tol=1e-10,
+        )
+    else:
+        res = ed_block(
+            args.nelec,
+            args.flux,
+            interaction=args.interaction,
+            two_lz=args.two_lz,
+            num_states=args.states,
+        )
     total = res.total_energy(args.nelec)
     print(f"block dim {res.dim}")
     print("interaction energies:", " ".join(f"{e:.6f}" for e in res.energies))
