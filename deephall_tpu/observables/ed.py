@@ -245,6 +245,70 @@ class EDResult:
         return nelec / 2.0 + interaction_strength * float(self.energies[0])
 
 
+def pair_correlation_curve(
+    result: EDResult, two_q: int, bins: int = 200
+) -> np.ndarray:
+    """Exact pair-correlation histogram of an ``L = 0`` eigenstate.
+
+    Returns the *expected value* of ``observables.estimators.pair_histogram``'s
+    bins for walkers drawn from ``|psi_ED|^2`` — directly overlayable on the
+    measured VMC artifacts (``runs/*_pair_corr.npz``).  Rotational invariance
+    pins one electron at the pole, where only the ``m = Q`` orbital is
+    nonzero, so the whole 2-RDM collapses to the pair occupations
+    ``<n_Q n_b>`` and the curve is
+
+        E[bin(theta)] = 4 pi (2Q+1) / N^2 * sum_b f_b(cos theta)^2 <n_Q n_b>
+
+    (the estimator's bins estimate ``16 pi^2 G(theta) / N^2`` for the
+    pair-density kernel ``G``; a uniform uncorrelated gas gives the finite-size
+    plateau ``(N-1)/N``).  ``f_b`` are the normalized LLL radial profiles.
+    Verified analytically at nu = 1, where ``<n_Q n_b> = 1`` and completeness
+    reduces this to the filled-LLL kernel form ``1 - cos^{4Q}(theta/2)``
+    (``tests/test_ed.py``).
+
+    Args:
+        result: An :class:`EDResult` whose ground state has ``L^2 ~= 0``
+            (the formula assumes rotational invariance of ``|psi|^2``).
+        two_q: Monopole flux ``2Q`` of the block.
+        bins: Histogram resolution (the estimator default is 200).
+    """
+    if abs(result.ground_l2) > 1e-3:
+        raise ValueError(
+            f"pair_correlation_curve needs an L=0 state, got L^2={result.ground_l2}"
+        )
+    n_orb = two_q + 1
+    nelec = len(result.basis[0])
+    pole = n_orb - 1  # the m = +Q orbital
+    # pair occupations <n_Q n_b> over the ground state
+    occ_pairs = np.zeros(n_orb)
+    for amp, occ in zip(result.ground_state, result.basis):
+        if pole in occ:
+            w = amp * amp
+            for b in occ:
+                if b != pole:
+                    occ_pairs[b] += w
+    centers = (np.arange(bins) + 0.5) * np.pi / bins
+    x = np.cos(centers)
+    # grid-free normalization: 2 pi int f_m^2 dx = 1 analytically via the
+    # beta function -> C_m^2 = (2Q+1) binom(2Q, Q+m) / (4 pi); in log space.
+    two_ms = np.arange(-two_q, two_q + 1, 2)
+    log_c2 = (
+        np.log(two_q + 1.0)
+        + gammaln(two_q + 1)
+        - gammaln((two_q + two_ms) / 2.0 + 1)
+        - gammaln((two_q - two_ms) / 2.0 + 1)
+        - np.log(4.0 * np.pi)
+    )
+    cos_half2 = (1.0 + x) / 2.0
+    sin_half2 = (1.0 - x) / 2.0
+    logs = (
+        ((two_q + two_ms) / 2.0)[:, None] * np.log(np.maximum(cos_half2, 1e-300))
+        + ((two_q - two_ms) / 2.0)[:, None] * np.log(np.maximum(sin_half2, 1e-300))
+    )
+    f2 = np.exp(log_c2[:, None] + logs)  # f_b(x)^2, normalized
+    return 4.0 * np.pi * (two_q + 1) / nelec**2 * (occ_pairs @ f2)
+
+
 def lz_basis(n_orb: int, nelec: int, two_lz: int) -> list[tuple[int, ...]]:
     """Occupation basis (tuples of orbital indices) with ``sum 2m = two_lz``."""
     two_q = n_orb - 1

@@ -137,6 +137,25 @@ def test_production_block_n6_q15():
     assert res_lz.energies[0] > res.energies[0] + 1e-4
 
 
+def test_pair_correlation_curve_nu1_closed_form():
+    """nu=1: the exact pair curve is the filled-LLL kernel 1 - cos^{4Q}(t/2).
+
+    Pins the estimator-convention normalization (the same bins
+    ``observables.estimators.pair_histogram`` produces) to machine precision.
+    """
+    res = ed.ed_block(3, 2, two_lz=0)
+    assert res.dim == 1  # nu=1 is a single Slater determinant
+    curve = ed.pair_correlation_curve(res, 2, bins=64)
+    t = (np.arange(64) + 0.5) * np.pi / 64
+    np.testing.assert_allclose(curve, 1.0 - np.cos(t / 2.0) ** 4, atol=1e-12)
+
+
+def test_pair_correlation_curve_requires_l0():
+    res = ed.ed_block(6, 16, two_lz=0)  # quasihole block: L = 3 ground state
+    with pytest.raises(ValueError, match="L=0"):
+        ed.pair_correlation_curve(res, 16)
+
+
 def test_lz_sectors_consistent():
     """E0 over Lz sectors: minimum at Lz=0 and excited multiplets reappear.
 
