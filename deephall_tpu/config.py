@@ -209,6 +209,27 @@ class System:
     l2_penalty: float = 0.0
     "The strength of the penalty for L^2."
 
+    orthogonal_states: tuple[str, ...] = ()
+    """Checkpoint paths of converged lower states for excited-state VMC.
+
+    TPU extension over the reference (its loss stops at the Lz/L^2 penalties):
+    each path is loaded at driver start (its ``config.yml`` sidecar must
+    describe the same physical system) and the loss adds
+    ``overlap_penalty * |<phi_j|psi>|^2 / (<phi_j|phi_j><psi|psi>)`` per state,
+    estimated from the training walkers alone — see
+    ``loss.orthogonality_stats_and_diff``.  Combined with ``lz_penalty`` /
+    ``lz_center`` this targets the lowest state of an ``Lz`` sector that is
+    orthogonal to already-found members, i.e. the magnetoroton branch.
+    """
+
+    overlap_penalty: float = 1.0
+    """Strength of each ``orthogonal_states`` overlap penalty.
+
+    Must exceed the energy gap to the target state, or the optimum keeps a
+    component on the lower state; the per-step ``overlap`` statistic (sum over
+    fixed states) should converge to ~0.
+    """
+
     interaction_type: InteractionType = InteractionType.coulomb
 
     compute_l2: bool = True

@@ -41,6 +41,52 @@ def iqr_clip(x: jnp.ndarray, scale: float = 100.0) -> jnp.ndarray:
     return iqr_clip_real(x.real, scale) + 1j * iqr_clip_real(x.imag, scale)
 
 
+def orthogonality_stats_and_diff(
+    log_ratios: jnp.ndarray, penalty: float
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Overlap penalties against fixed lower states, from one walker ensemble.
+
+    Excited-state VMC beyond the reference's surface (its loss has only the
+    Lz / L^2 penalties, ``/root/reference/deephall/loss.py:76-88``): state
+    ``k`` is found by minimising ``E + penalty * sum_j O_j`` over the fixed,
+    already-converged states ``phi_j``, where
+
+        O_j = |<phi_j|psi>|^2 / (<phi_j|phi_j><psi|psi>) = |E[rho_j]|^2 / E[|rho_j|^2]
+
+    with ``rho_j,i = phi_j(x_i)/psi(x_i)`` and both expectations over the *same*
+    ``|psi|^2`` walkers — no second ensemble needed.  The exact parameter
+    gradient of ``O_j`` (explicit ``rho`` dependence plus the sampling-measure
+    term) collapses to the same covariance form as the energy gradient,
+
+        dO_j = E[ Re( conj(w_i) d log psi_i ) ],
+        w_i  = 2 ( conj(r) rho_i / n  -  O_j ),   r = E[rho],  n = E[|rho|^2],
+
+    so it folds into the clipped-difference vector consumed by the loss VJP as
+    ``diff_i += penalty * (conj(r) rho_i / n - O_j)`` (the driver's
+    ``vjp_weights`` supplies the factor ``2/B``).  Shift-invariance in the
+    ``log rho`` real part makes the estimator overflow-safe.
+
+    Args:
+        log_ratios: ``[n_states, batch]`` complex ``log(phi_j(x_i)/psi(x_i))``.
+        penalty: Penalty strength (must exceed the target gap to push the
+            optimum off the lower states).
+
+    Returns:
+        ``(overlap, diff)``: the real total overlap ``sum_j O_j`` (logged per
+        step) and the complex per-walker gradient weights ``[batch]``.
+    """
+    log_ratios = jax.lax.stop_gradient(log_ratios)
+    shift = jnp.nan_to_num(
+        jnp.nanmax(log_ratios.real, axis=1, keepdims=True), posinf=0.0, neginf=0.0
+    )
+    rho = jnp.exp(log_ratios - shift)  # O == |r|^2/n is invariant to real shifts
+    r = jnp.nanmean(rho, axis=1, keepdims=True)
+    n = jnp.nanmean(jnp.abs(rho) ** 2, axis=1, keepdims=True)
+    overlap = jnp.abs(r) ** 2 / n  # [n_states, 1]
+    diff = penalty * (jnp.conj(r) * rho / n - overlap)  # [n_states, batch]
+    return jnp.sum(overlap), jnp.sum(diff, axis=0)
+
+
 class LossMode(enum.Enum):
     ENERGY_GRAD = enum.auto()
     ENERGY_DIFF = enum.auto()
@@ -48,19 +94,31 @@ class LossMode(enum.Enum):
 
 
 def stats_and_clipped_diff(
-    system: System, el: jnp.ndarray, other_observables: dict
+    system: System,
+    el: jnp.ndarray,
+    other_observables: dict,
+    log_ratios: jnp.ndarray | None = None,
 ) -> tuple[LossStats, jnp.ndarray]:
     """Per-step statistics and the clipped per-walker energy differences.
 
     Implements the reference estimator's clipping and penalty assembly
     (``/root/reference/deephall/loss.py:66-91``): IQR clipping of the local
     energy, optional Lz / L^2 penalty terms folded into the differences, and
-    NaN-resistant means for the logged statistics.
+    NaN-resistant means for the logged statistics.  ``log_ratios`` (per-walker
+    ``log(phi_j/psi)`` against fixed lower states) additionally folds in the
+    excited-state overlap penalty and adds a real ``overlap`` statistic — see
+    :func:`orthogonality_stats_and_diff`.
     """
     mean_observables = jax.tree.map(jnp.mean, other_observables)
     loss = jnp.nanmean(el)
     clipped_loss = jnp.nanmean(iqr_clip(el))
     diff_to_clip = el - clipped_loss
+    if log_ratios is not None:
+        overlap, ortho_diff = orthogonality_stats_and_diff(
+            log_ratios, system.overlap_penalty
+        )
+        mean_observables["overlap"] = overlap
+        diff_to_clip += ortho_diff
     if system.lz_penalty:
         lz_square = other_observables["angular_momentum_z_square"]
         lz = other_observables["angular_momentum_z"]
@@ -90,11 +148,20 @@ def vjp_weights(diff: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def fixed_state_log_ratios(
+    fixed_states, logpsi: jnp.ndarray, data: jnp.ndarray
+) -> jnp.ndarray:
+    """``[n_states, batch]`` complex ``log(phi_j(x_i)/psi(x_i))`` (stop-gradient)."""
+    logpsi = jax.lax.stop_gradient(logpsi)
+    return jnp.stack([f(data) for f in fixed_states]) - logpsi[None]
+
+
 def make_loss_fn(
     network: LogPsiNetwork,
     system: System,
     mode: LossMode = LossMode.ENERGY_GRAD,
     model=None,
+    fixed_states=None,
 ) -> Callable[[ArrayTree, jnp.ndarray], tuple[LossStats, ArrayTree]]:
     """Create ``(params, data) -> (stats, grads_or_diff)`` for the given mode.
 
@@ -108,6 +175,13 @@ def make_loss_fn(
     sweeps; ``L^2`` (observable or penalty) adds two jet directions rather
     than falling back to the full Hessian.  Other networks (Laughlin inference)
     use the per-config Hessian path under ``vmap``.
+
+    ``fixed_states`` (excited-state VMC) is a sequence of batched callables
+    ``data -> log phi_j`` for already-converged lower states; their overlap
+    penalties fold into the gradient weights (:func:`orthogonality_stats_and_diff`).
+    The gradient modes evaluate ``log psi`` through one explicit ``jax.vjp``
+    whose primal feeds the overlap ratios and whose pullback serves both the
+    real and (for SR) imaginary weighted cotangents — no extra forward pass.
     """
     if model is not None and isinstance(model, Psiformer):
         batch_local_energy = forward_laplacian_local_energy(model, system)
@@ -116,28 +190,37 @@ def make_loss_fn(
 
     def loss_and_grad(params: ArrayTree, data: jnp.ndarray):
         el, other_observables = batch_local_energy(params, data)
-        stats, diff = stats_and_clipped_diff(system, el, other_observables)
         if mode == LossMode.ENERGY_DIFF:
+            log_ratios = (
+                fixed_state_log_ratios(fixed_states, network(params, data), data)
+                if fixed_states
+                else None
+            )
+            stats, diff = stats_and_clipped_diff(
+                system, el, other_observables, log_ratios
+            )
             return stats, diff
-        w = vjp_weights(diff)
 
-        def weighted_real(p):
+        def split_logpsi(p):
             logpsi = network(p, data)  # natively batched
-            # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
-            return jnp.sum(logpsi.real * w.real + logpsi.imag * w.imag)
+            return logpsi.real, logpsi.imag
 
+        (re, im), pullback = jax.vjp(split_logpsi, params)
+        log_ratios = (
+            fixed_state_log_ratios(fixed_states, re + 1j * im, data)
+            if fixed_states
+            else None
+        )
+        stats, diff = stats_and_clipped_diff(system, el, other_observables, log_ratios)
+        w = vjp_weights(diff)
+        # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
+        (g_re,) = pullback((w.real, w.imag))
         if mode == LossMode.ENERGY_GRAD:
-            grads = jax.grad(weighted_real)(params)
-            return stats, jax.tree.map(jnp.nan_to_num, grads)
+            return stats, jax.tree.map(jnp.nan_to_num, g_re)
 
-        # SR_F_VECTOR: the complex tangent, from one more weighted VJP.
-        def weighted_imag(p):
-            logpsi = network(p, data)
-            # Im[conj(grad logpsi) w] = grad(Re psi) . Im w - grad(Im psi) . Re w
-            return jnp.sum(logpsi.real * w.imag - logpsi.imag * w.real)
-
-        g_re = jax.grad(weighted_real)(params)
-        g_im = jax.grad(weighted_imag)(params)
+        # SR_F_VECTOR: the complex tangent, from one more pullback.
+        # Im[conj(grad logpsi) w] = grad(Re psi) . Im w - grad(Im psi) . Re w
+        (g_im,) = pullback((w.imag, -w.real))
         return stats, jax.tree.map(
             lambda a, b: jnp.nan_to_num(a) + 1j * jnp.nan_to_num(b), g_re, g_im
         )
@@ -146,7 +229,7 @@ def make_loss_fn(
 
 
 def make_loss_and_capture_fn(
-    system: System, model
+    system: System, model, fixed_states=None
 ) -> Callable[[ArrayTree, jnp.ndarray], tuple]:
     """Energy gradient *and* KFAC curvature capture from one shared forward.
 
@@ -175,8 +258,6 @@ def make_loss_and_capture_fn(
 
     def loss_grad_capture(params: ArrayTree, data: jnp.ndarray):
         el, other_observables = batch_local_energy(params, data)
-        stats, diff = stats_and_clipped_diff(system, el, other_observables)
-        w = vjp_weights(diff)
 
         taps0 = zero_taps(model, params, data)
 
@@ -186,7 +267,14 @@ def make_loss_and_capture_fn(
             out, aux = model.apply(variables, data, mutable=[KFAC_IN])
             return (out.real, out.imag), aux[KFAC_IN]
 
-        _, pullback, sown = jax.vjp(f, params, taps0, has_aux=True)
+        (re, im), pullback, sown = jax.vjp(f, params, taps0, has_aux=True)
+        log_ratios = (
+            fixed_state_log_ratios(fixed_states, re + 1j * im, data)
+            if fixed_states
+            else None
+        )
+        stats, diff = stats_and_clipped_diff(system, el, other_observables, log_ratios)
+        w = vjp_weights(diff)
         # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
         grads, _ = pullback((w.real, w.imag))
         # Exact-Fisher sensitivities of sqrt(2) sum_b Re log psi_b.

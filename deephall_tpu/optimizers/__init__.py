@@ -64,7 +64,7 @@ def validate_opt_state(cfg: Config, opt_state):
 
 
 def make_optimizer_step(
-    cfg: Config, model: nn.Module, sample_config
+    cfg: Config, model: nn.Module, sample_config, fixed_states=None
 ) -> tuple[TrainingInit, TrainingStep]:
     """Build the optimizer (init, step) pair for the configured optimizer.
 
@@ -72,6 +72,8 @@ def make_optimizer_step(
         cfg: Full configuration.
         model: The wavefunction module (KFAC uses its curvature collections).
         sample_config: One electron configuration ``[nelec, 2]`` for shape discovery.
+        fixed_states: Optional batched ``data -> log phi_j`` callables for
+            excited-state overlap penalties (``loss.make_loss_fn``).
 
     Returns:
         ``(init, step)`` pure functions.
@@ -81,14 +83,20 @@ def make_optimizer_step(
     """
     network = model.apply
     if cfg.optim.optimizer == OptimizerName.adam:
-        loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD, model=model)
+        loss_grad_fn = make_loss_fn(
+            network, cfg.system, LossMode.ENERGY_GRAD, model=model,
+            fixed_states=fixed_states,
+        )
         return make_adam_training_step(cfg.optim.adam, loss_grad_fn)
     if cfg.optim.optimizer == OptimizerName.kfac:
-        loss_grad_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_GRAD, model=model)
+        loss_grad_fn = make_loss_fn(
+            network, cfg.system, LossMode.ENERGY_GRAD, model=model,
+            fixed_states=fixed_states,
+        )
         # Psiformer: one shared forward serves both the gradient VJP and the
         # KFAC curvature capture (see loss.make_loss_and_capture_fn).
         capture_fn = (
-            make_loss_and_capture_fn(cfg.system, model)
+            make_loss_and_capture_fn(cfg.system, model, fixed_states=fixed_states)
             if isinstance(model, Psiformer)
             else None
         )
@@ -96,6 +104,9 @@ def make_optimizer_step(
             cfg.optim.kfac, loss_grad_fn, model, sample_config, capture_fn=capture_fn
         )
     if cfg.optim.optimizer == OptimizerName.none:
-        loss_diff_fn = make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF, model=model)
+        loss_diff_fn = make_loss_fn(
+            network, cfg.system, LossMode.ENERGY_DIFF, model=model,
+            fixed_states=fixed_states,
+        )
         return make_inference_step(loss_diff_fn)
     raise ValueError(f"Optimizer {cfg.optim.optimizer} is not implemented!")

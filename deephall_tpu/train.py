@@ -57,6 +57,43 @@ def init_guess(key, batch: int, nelec: int) -> jnp.ndarray:
     return jnp.stack([theta, phi], axis=-1)
 
 
+def load_fixed_states(cfg: Config):
+    """Load ``system.orthogonal_states`` checkpoints as batched ``log phi`` callables.
+
+    Excited-state VMC: each checkpoint (with its ``config.yml`` sidecar) is a
+    converged lower state to orthogonalize against via overlap penalties
+    (``loss.orthogonality_stats_and_diff``).  The fixed parameters are closed
+    over as jit constants — replicated onto every device by XLA, never updated.
+
+    Raises:
+        ValueError: if a fixed state was trained on a different physical
+            system (flux / electron count / radius), where the overlap
+            estimator would silently compare wavefunctions on different
+            geometries.
+    """
+    if not cfg.system.orthogonal_states:
+        return None
+    from deephall_tpu.observables.runner import load_run
+
+    fixed = []
+    for path in cfg.system.orthogonal_states:
+        fcfg, fmodel, fparams, _, _ = load_run(path)
+        same_system = (
+            fcfg.system.flux == cfg.system.flux
+            and tuple(fcfg.system.nspins) == tuple(cfg.system.nspins)
+            and fcfg.system.radius == cfg.system.radius
+        )
+        if not same_system:
+            raise ValueError(
+                f"orthogonal state {path} was trained on a different system "
+                f"(flux={fcfg.system.flux}, nspins={fcfg.system.nspins}, "
+                f"radius={fcfg.system.radius})"
+            )
+        fixed.append(lambda d, m=fmodel, p=fparams: m.apply(p, d))
+        logger.info("Orthogonality penalty against %s", path)
+    return fixed
+
+
 _TRANSIENT_MARKERS = ("UNAVAILABLE", "Connection", "transport", "remote_compile")
 _TRANSIENT_RETRIES = 15
 _TRANSIENT_BACKOFF_S = 120.0
@@ -209,13 +246,20 @@ def train(cfg: Config) -> None:
     sample_config = jnp.zeros((nelec, 2))
     mcmc_step_fn = mcmc.make_mcmc_step(mcmc_network, steps=cfg.mcmc.steps)
     mcmc_step = jax.jit(mcmc_step_fn, donate_argnums=(1,))
-    opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample_config)
+    fixed_states = load_fixed_states(cfg)
+    opt_init, training_step = optimizers.make_optimizer_step(
+        cfg, model, sample_config, fixed_states=fixed_states
+    )
     iteration_block = make_iteration_block(cfg, mcmc_step_fn, training_step)
     energy_probe = jax.jit(
         lambda params, data: pack_complex(
-            make_loss_fn(network, cfg.system, LossMode.ENERGY_DIFF, model=model)(
-                params, data
-            )[0]
+            make_loss_fn(
+                network,
+                cfg.system,
+                LossMode.ENERGY_DIFF,
+                model=model,
+                fixed_states=fixed_states,
+            )(params, data)[0]
         )
     )
 
@@ -311,6 +355,9 @@ def train(cfg: Config) -> None:
             step_time = (time.perf_counter() - block_start) / length
             for i in range(length):
                 stats = jax.tree.map(lambda x: x[i], all_stats)
+                extra = {}
+                if "overlap" in stats:  # excited-state runs: sum_j O_j -> 0
+                    extra["overlap"] = f"{stats['overlap']:.4f}"
                 writer.log(
                     step=str(step + i),
                     pmove=f"{pmove_host[i]:.2f}",
@@ -323,6 +370,7 @@ def train(cfg: Config) -> None:
                     Lz_square=f"{stats['angular_momentum_z_square']:.4f}",
                     L_square=f"{stats['angular_momentum_square']:.4f}",
                     step_time=f"{step_time:.4f}",
+                    **extra,
                 )
             step += length
             energy_is_nan = bool(np.isnan(all_stats["energy"].real).any())

@@ -30,6 +30,12 @@ class OtherObservables(AngularMomenta):
 
 
 class LossStats(OtherObservables):
+    """Per-step training statistics.
+
+    Excited-state runs (``system.orthogonal_states``) additionally carry a real
+    ``overlap`` key: the summed normalized overlaps with the fixed lower states.
+    """
+
     energy: jnp.ndarray
     variance: jnp.ndarray
 

@@ -1,0 +1,133 @@
+"""Magnetoroton dispersion driver: per-Lz-sector excited-state VMC.
+
+Maps the neutral-excitation branch that the exact-diagonalization oracle
+(`deephall_tpu.observables.ed`, BASELINE.md "exact magnetoroton spectra")
+computes exactly for small N — a capability beyond the reference's surface,
+which trains ground states only (its loss stops at the Lz/L^2 penalties,
+``/root/reference/deephall/loss.py:76-88``).
+
+Method: on the sphere, ``L^2`` and ``Lz`` commute with ``H``; the lowest
+eigenstate of the ``Lz = m`` sector is the lowest-energy state with ``L >= m``
+(each L-multiplet contributes exactly one member per ``|Lz| <= L``).  Training
+with ``lz_penalty``/``lz_center = m`` therefore lands on the magnetoroton
+branch's lower envelope at ``L = m`` — the L=0 ground state is excluded
+automatically (it has no ``Lz = m`` member).  Where the branch dips below
+``E(L = m)`` (beyond the roton minimum), the sector minimum is a higher-L
+member; passing ``--chain`` re-runs the sector with an overlap penalty
+(``system.orthogonal_states``) against the first state to climb one level up
+the sector spectrum.
+
+Usage (production, one sector at a time on TPU):
+
+    python scripts/magnetoroton.py --config runs/prod_r2/config.yml \
+        --out runs/roton13 --sectors 2 3 4 5 6 --iterations 20000
+
+Each sector writes ``{out}/sector_{m}/`` (checkpoints + train_stats.csv) and
+the script appends tail energies to ``{out}/dispersion.csv``.  Gaps are
+``E_m - E_ground``; take ``E_ground`` from the converged ground run's stats.
+
+Validated end-to-end on CPU against the ED oracle in
+``tests/test_excited.py::test_excited_state_end_to_end`` (dim-2 block: both
+members recovered to < 0.06 with the exact gap reproduced).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+
+def tail_stats(csv_path: Path, rows: int) -> dict[str, float]:
+    with open(csv_path) as f:
+        table = list(csv.DictReader(f))
+    tail = table[-rows:]
+
+    def col(name):
+        return np.array([float(r[name]) for r in tail])
+
+    energy = col("energy")
+    out = {
+        "energy": float(energy.mean()),
+        "energy_err": float(energy.std(ddof=1) / np.sqrt(len(energy))),
+        "variance": float(col("variance").mean()),
+        "L_square": float(col("L_square").mean()),
+        "Lz": float(col("Lz").mean()),
+    }
+    if tail and "overlap" in tail[-1]:
+        out["overlap"] = float(col("overlap").mean())
+    return out
+
+
+def main(argv: list[str] | None = None) -> None:
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--config", required=True, help="config.yml of the ground run")
+    parser.add_argument("--out", required=True, help="output directory for sector runs")
+    parser.add_argument("--sectors", type=int, nargs="+", default=[2, 3, 4, 5])
+    parser.add_argument("--iterations", type=int, default=20000)
+    parser.add_argument("--lz-penalty", type=float, default=1.0)
+    parser.add_argument(
+        "--overlap-penalty", type=float, default=1.0,
+        help="penalty strength for --chain second states (must exceed the gap)",
+    )
+    parser.add_argument(
+        "--chain", type=int, default=0,
+        help="extra states per sector, each orthogonal to the previous ones",
+    )
+    parser.add_argument("--tail", type=int, default=500, help="stats tail rows")
+    parser.add_argument(
+        "--dotlist", nargs="*", default=[],
+        help="extra key=value overrides applied to every sector run",
+    )
+    args = parser.parse_args(argv)
+
+    # Import late: the CLI path initialises the (possibly remote) backend.
+    from deephall_tpu.config import Config, dotlist_to_dict, merge_dicts, to_dict
+    from deephall_tpu.train import train
+
+    with open(args.config, encoding="utf8") as f:
+        base = yaml.safe_load(f)
+    base.pop("git_commit", None)
+    out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    dispersion = out_dir / "dispersion.csv"
+
+    for m in args.sectors:
+        previous: list[str] = []
+        for level in range(args.chain + 1):
+            name = f"sector_{m}" if level == 0 else f"sector_{m}_state{level}"
+            run_dir = out_dir / name
+            overrides = {
+                "system": {
+                    "lz_center": float(m),
+                    "lz_penalty": args.lz_penalty,
+                    "l2_penalty": 0.0,
+                    "orthogonal_states": previous,
+                    "overlap_penalty": args.overlap_penalty,
+                },
+                "optim": {"iterations": args.iterations},
+                "log": {"save_path": str(run_dir), "restore_path": None},
+            }
+            merged = merge_dicts(merge_dicts(dict(base), overrides),
+                                 dotlist_to_dict(args.dotlist))
+            cfg = Config.from_dict(merged)
+            print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
+            train(cfg)
+            ckpts = sorted(run_dir.glob("ckpt_*.npz"))
+            previous = [*previous, str(ckpts[-1])]
+            row = {"sector": m, "level": level,
+                   **tail_stats(run_dir / "train_stats.csv", args.tail)}
+            write_header = not dispersion.exists()
+            with open(dispersion, "a", newline="") as f:
+                writer = csv.DictWriter(f, fieldnames=list(row))
+                if write_header:
+                    writer.writeheader()
+                writer.writerow(row)
+            print(f"    {row}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

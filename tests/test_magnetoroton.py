@@ -1,0 +1,101 @@
+"""Magnetoroton driver: sector/chain orchestration with a stubbed train().
+
+The real physics (penalties, overlap gradients, ED agreement) is covered by
+``tests/test_excited.py``; here the driver's config plumbing is pinned — sector
+targeting, chained orthogonal states, dotlist overrides, dispersion CSV.
+"""
+
+import csv
+import sys
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+import magnetoroton  # noqa: E402
+
+from deephall_tpu.config import Config, to_dict  # noqa: E402
+
+
+def _fake_stats(path: Path, energy: float):
+    rows = [
+        {
+            "step": i,
+            "energy": energy,
+            "variance": 0.01,
+            "L_square": 12.0,
+            "Lz": 2.0,
+            "overlap": 0.01,
+        }
+        for i in range(10)
+    ]
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+        writer.writeheader()
+        writer.writerows(rows)
+
+
+def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
+    base_cfg = Config()
+    base_cfg.system.flux = 15
+    base_cfg.system.nspins = (6, 0)
+    config_yml = tmp_path / "config.yml"
+    config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
+
+    seen: list[Config] = []
+
+    def fake_train(cfg: Config):
+        seen.append(cfg)
+        run_dir = Path(cfg.log.save_path)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        _fake_stats(run_dir / "train_stats.csv", energy=7.0 + 0.1 * len(seen))
+        np.savez(run_dir / "ckpt_000099.npz", step=99)
+
+    # The package re-exports the train *function* as deephall_tpu.train, so the
+    # dotted-string form would resolve to the function; patch the module itself.
+    import importlib
+
+    train_module = importlib.import_module("deephall_tpu.train")
+    monkeypatch.setattr(train_module, "train", fake_train)
+
+    out = tmp_path / "roton"
+    magnetoroton.main(
+        [
+            "--config", str(config_yml),
+            "--out", str(out),
+            "--sectors", "2", "3",
+            "--chain", "1",
+            "--iterations", "123",
+            "--tail", "5",
+            "--dotlist", "batch_size=512",
+        ]
+    )
+
+    # 2 sectors x (1 + 1 chained) runs, in order.
+    assert len(seen) == 4
+    first, chained, second, second_chained = seen
+    assert first.system.lz_center == 2.0 and first.system.lz_penalty == 1.0
+    assert first.system.orthogonal_states == ()
+    assert first.optim.iterations == 123
+    assert first.batch_size == 512
+    assert first.system.flux == 15 and first.system.nspins == (6, 0)
+    # The chained run is orthogonal to the first run's newest checkpoint.
+    assert chained.system.lz_center == 2.0
+    assert chained.system.orthogonal_states == (
+        str(out / "sector_2" / "ckpt_000099.npz"),
+    )
+    assert second.system.lz_center == 3.0
+    assert second.system.orthogonal_states == ()
+    assert second_chained.system.orthogonal_states == (
+        str(out / "sector_3" / "ckpt_000099.npz"),
+    )
+
+    with open(out / "dispersion.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert [(r["sector"], r["level"]) for r in rows] == [
+        ("2", "0"), ("2", "1"), ("3", "0"), ("3", "1")
+    ]
+    assert float(rows[0]["energy"]) == 7.1
+    assert "overlap" in rows[0]
