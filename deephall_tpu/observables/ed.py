@@ -234,6 +234,7 @@ class EDResult:
     dim: int  # dimension of the Lz block
     ground_state: np.ndarray  # amplitudes in the occupation basis
     basis: list[tuple[int, ...]]  # occupied-orbital tuples (m-order -Q..Q)
+    states: np.ndarray | None = None  # [dim, num_states] eigenvectors (dense path)
 
     def total_energy(self, nelec: int, interaction_strength: float = 1.0) -> float:
         """Frozen-LLL total energy: kinetic ``N/2`` plus the interaction part.
@@ -457,6 +458,7 @@ def ed_block(
         dim=len(basis),
         ground_state=ground,
         basis=basis,
+        states=vecs[:, :num_states],
     )
 
 

@@ -18,6 +18,7 @@ Keeping one kernel per observable guarantees the two surfaces cannot drift apart
 from __future__ import annotations
 
 import dataclasses
+import logging
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -28,6 +29,8 @@ from deephall_tpu.config import Config
 from deephall_tpu.geometry import pairwise_cos
 from deephall_tpu.networks import make_network
 from deephall_tpu.observables.harmonics import make_monopole_harm
+
+logger = logging.getLogger("deephall")
 
 # --------------------------------------------------------------------------- #
 # Per-step kernels (single source of truth for the physics)
@@ -118,10 +121,20 @@ def make_overlap_ratios(cfg: Config, network) -> Callable:
     laughlin = make_network(
         cfg.system, dataclasses.replace(cfg.network, type="laughlin")
     )
+    return make_target_ratios(network, lambda data: laughlin.apply({}, data))
+
+
+def make_target_ratios(network, target_logpsi) -> Callable:
+    """Per-walker importance ratios of ``network`` against any target state.
+
+    Generalizes :func:`make_overlap_ratios` to an arbitrary batched
+    ``data -> log phi`` target (the analytic Laughlin state, an ED eigenstate,
+    another trained checkpoint ...).
+    """
 
     def ratios(params, data):
         logpsi = network(params, data)
-        logphi = laughlin.apply({}, data)
+        logphi = target_logpsi(data)
         shift = jnp.mean((logphi - logpsi).real)
         ratio = jnp.exp(logphi - logpsi - shift)
         return ratio, jnp.abs(ratio) ** 2
@@ -224,8 +237,31 @@ def make_one_rdm(cfg: Config, network) -> Estimator:
 
 def make_overlap(cfg: Config, network) -> Estimator:
     """Laughlin-overlap accumulator (reference ``overlap.py:31-70``)."""
-    ratios = make_overlap_ratios(cfg, network)
+    return _overlap_estimator(make_overlap_ratios(cfg, network))
 
+
+def make_ed_overlap(cfg: Config, network) -> Estimator:
+    """Overlap with the *exact* LLL eigenstate from exact diagonalization.
+
+    Beyond the reference's surface (its only analytic target is the Laughlin
+    state): runs ``ed.ed_block`` for the configured system at load time (dense
+    path — small/medium blocks) and accumulates
+    ``|<psi_ED|psi>|^2 / (<psi_ED|psi_ED><psi|psi>)`` from the same walkers.
+    """
+    from deephall_tpu.networks.edstate import make_ed_network
+
+    ed_network, result = make_ed_network(cfg.system)
+    logger.info(
+        "ED block dim=%d, E0=%.6f (total %.6f), L2=%.4f",
+        result.dim,
+        result.energies[0],
+        result.total_energy(sum(cfg.system.nspins), cfg.system.interaction_strength),
+        result.ground_l2,
+    )
+    return _overlap_estimator(make_target_ratios(network, lambda d: ed_network(None, d)))
+
+
+def _overlap_estimator(ratios) -> Estimator:
     # Split real/imag state: complex cannot cross the TPU host boundary.
     def init(steps: int):
         del steps
@@ -265,4 +301,5 @@ ESTIMATORS = {
     "pair_corr": make_pair_corr,
     "one_rdm": make_one_rdm,
     "overlap": make_overlap,
+    "ed_overlap": make_ed_overlap,
 }
