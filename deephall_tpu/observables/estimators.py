@@ -247,10 +247,16 @@ def make_ed_overlap(cfg: Config, network) -> Estimator:
     state): runs ``ed.ed_block`` for the configured system at load time (dense
     path — small/medium blocks) and accumulates
     ``|<psi_ED|psi>|^2 / (<psi_ED|psi_ED><psi|psi>)`` from the same walkers.
+
+    Sector-aware: a checkpoint trained with the Lz penalty at
+    ``lz_center = m`` (the magnetoroton workflow, ``scripts/magnetoroton.py``)
+    is compared against the exact ground state of the matching ``Lz = m``
+    block, so excited-branch states validate with the same estimator.
     """
     from deephall_tpu.networks.edstate import make_ed_network
 
-    ed_network, result = make_ed_network(cfg.system)
+    two_lz = round(2 * cfg.system.lz_center) if cfg.system.lz_penalty else 0
+    ed_network, result = make_ed_network(cfg.system, two_lz=two_lz)
     logger.info(
         "ED block dim=%d, E0=%.6f (total %.6f), L2=%.4f",
         result.dim,

@@ -116,3 +116,29 @@ def test_ed_overlap_estimator_self_is_one(laughlin_block):
     state = est.evaluate(None, jax.random.PRNGKey(6), data, state)
     out = est.digest(state, 1)
     np.testing.assert_allclose(out["overlap"], 1.0, atol=1e-6)
+
+
+def test_ed_overlap_is_sector_aware():
+    """A checkpoint with lz_center=m validates against the Lz=m block's ground.
+
+    The network under test *is* the exact ground of the two_lz=2 block; the
+    estimator must target that same block when the config carries the sector
+    penalty (overlap 1), and the Lz=0 block otherwise (overlap ~0 between
+    different-Lz eigenstates).
+    """
+    from deephall_tpu.observables.estimators import make_ed_overlap
+
+    system = System(flux=4, nspins=(3, 0))
+    network, _ = make_ed_network(system, two_lz=2)
+    data = _random_configs(jax.random.PRNGKey(7), 64, 3)
+
+    def run(cfg_system):
+        cfg = Config()
+        cfg.system = cfg_system
+        est = make_ed_overlap(cfg, network)
+        state = est.evaluate(None, jax.random.PRNGKey(8), data, est.init(1))
+        return float(est.digest(state, 1)["overlap"])
+
+    sector_cfg = dataclasses.replace(system, lz_penalty=1.0, lz_center=1.0)
+    np.testing.assert_allclose(run(sector_cfg), 1.0, atol=1e-6)
+    assert run(system) < 0.2  # Lz=0 target: orthogonal multiplet members
