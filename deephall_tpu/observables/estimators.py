@@ -240,7 +240,7 @@ def make_overlap(cfg: Config, network) -> Estimator:
     return _overlap_estimator(make_overlap_ratios(cfg, network))
 
 
-def make_ed_overlap(cfg: Config, network) -> Estimator:
+def make_ed_overlap(cfg: Config, network, state: int = 0) -> Estimator:
     """Overlap with the *exact* LLL eigenstate from exact diagonalization.
 
     Beyond the reference's surface (its only analytic target is the Laughlin
@@ -256,13 +256,15 @@ def make_ed_overlap(cfg: Config, network) -> Estimator:
     from deephall_tpu.networks.edstate import make_ed_network
 
     two_lz = round(2 * cfg.system.lz_center) if cfg.system.lz_penalty else 0
-    ed_network, result = make_ed_network(cfg.system, two_lz=two_lz)
+    ed_network, result = make_ed_network(cfg.system, state=state, two_lz=two_lz)
     logger.info(
-        "ED block dim=%d, E0=%.6f (total %.6f), L2=%.4f",
+        "ED block dim=%d (2Lz=%d), target state %d: E=%.6f (total %.6f)",
         result.dim,
-        result.energies[0],
-        result.total_energy(sum(cfg.system.nspins), cfg.system.interaction_strength),
-        result.ground_l2,
+        two_lz,
+        state,
+        result.energies[state],
+        sum(cfg.system.nspins) / 2.0
+        + cfg.system.interaction_strength * float(result.energies[state]),
     )
     return _overlap_estimator(make_target_ratios(network, lambda d: ed_network(None, d)))
 

@@ -108,14 +108,22 @@ def cli(argv: list[str] | None = None) -> None:
     parser.add_argument("--mcmc-steps", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", default=None, help="output .npz (default: print)")
+    parser.add_argument(
+        "--ed-state", type=int, default=0,
+        help="ed_overlap only: ED eigenstate index within the target Lz block "
+        "(chained sector states, scripts/magnetoroton.py)",
+    )
     args = parser.parse_args(argv or sys.argv[1:])
 
     init_logging()
     parallel.initialize_distributed()  # multi-host: rendezvous before backend use
     cfg, model, params, data, width = load_run(args.ckpt)
+    estimator_kwargs = (
+        {"state": args.ed_state} if args.estimator == "ed_overlap" else None
+    )
     results = evaluate_observable(
         cfg, model, params, data, width, args.estimator, args.steps, args.mcmc_steps,
-        args.seed,
+        args.seed, estimator_kwargs=estimator_kwargs,
     )
     if jax.process_index() != 0:
         return  # accumulators are replicated; process 0 owns the artifacts
