@@ -310,6 +310,54 @@ def pair_correlation_curve(
     return 4.0 * np.pi * (two_q + 1) / nelec**2 * (occ_pairs @ f2)
 
 
+def structure_factor(result: EDResult, two_q: int, lmax: int = 8) -> np.ndarray:
+    """Exact static structure factor multipoles of an ``L = 0`` eigenstate.
+
+    ``S_L = 1 + (N-1) E_pair[P_L(cos theta_12)]`` — the sphere analogue of
+    ``S(q) = 1 + rho Int (g-1)`` via the addition theorem for the density
+    multipoles ``rho_LM = sum_i Y_LM(Omega_i)``.  Rotational invariance
+    collapses the pair density to the pole-pair occupations exactly as in
+    :func:`pair_correlation_curve`; the ``E_pair[P_L]`` integrals are done by
+    Gauss-Legendre quadrature, exact for these band-limited integrands.
+
+    Oracle (pinned in ``tests/test_ed.py``): within the LLL the projected
+    position operator is ``L_i/(Q+1)`` whose square is ``Q/(Q+1)`` (not 1 —
+    the projection eats the diagonal), so every LLL eigenstate obeys exactly
+
+        S_1 = 1/(Q+1) + L(L+1) / (N (Q+1)^2) ,
+
+    i.e. ``1/(Q+1)`` for every rotation-invariant ground state — the sphere
+    version of the ``q^2/2`` incompressibility bound on S(q -> 0).
+
+    Returns:
+        ``[lmax + 1]`` array, ``S_0 = N`` trivially.
+    """
+    if abs(result.ground_l2) > 1e-3:
+        raise ValueError(
+            f"structure_factor needs an L=0 state, got L^2={result.ground_l2}"
+        )
+    n_orb = two_q + 1
+    nelec = len(result.basis[0])
+    pole = n_orb - 1
+    occ_pairs = np.zeros(n_orb)
+    for amp, occ in zip(result.ground_state, result.basis):
+        if pole in occ:
+            w = amp * amp
+            for b in occ:
+                if b != pole:
+                    occ_pairs[b] += w
+    nodes, weights = np.polynomial.legendre.leggauss(2 * two_q + lmax + 16)
+    f2 = _radial_profiles(two_q, nodes) ** 2  # unnormalized; constants cancel
+    norm = np.sum(weights * f2, axis=1)
+    density = occ_pairs @ (f2 / norm[:, None])  # pair pdf on the nodes (up to const)
+    z = np.sum(weights * density)
+    out = np.empty(lmax + 1)
+    for lval in range(lmax + 1):
+        p_l = np.polynomial.legendre.Legendre.basis(lval)(nodes)
+        out[lval] = 1.0 + (nelec - 1) * np.sum(weights * density * p_l) / z
+    return out
+
+
 def lz_basis(n_orb: int, nelec: int, two_lz: int) -> list[tuple[int, ...]]:
     """Occupation basis (tuples of orbital indices) with ``sum 2m = two_lz``."""
     two_q = n_orb - 1

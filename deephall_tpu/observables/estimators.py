@@ -304,10 +304,59 @@ def _overlap_estimator(ratios) -> Estimator:
     return Estimator(init, evaluate, digest)
 
 
+def make_structure_factor(cfg: Config, network, lmax: int = 8) -> Estimator:
+    """Static structure factor multipoles ``S_L = 1 + (N-1) E_pair[P_L]``.
+
+    Beyond the reference's estimator set.  Exact counterpart for ED states:
+    ``observables.ed.structure_factor`` (same definition; the two are pinned
+    against each other in ``tests/test_edstate.py``).  ``S_1`` obeys the exact
+    LLL identity ``1/(Q+1) + L(L+1)/(N (Q+1)^2)`` — an LLL-occupancy /
+    rotation-invariance diagnostic for converged states (LL mixing shows up as
+    a measured excess over ``1/(Q+1)``).
+    """
+    del network
+    nelec = sum(cfg.system.nspins)
+
+    def pair_legendre_means(data):
+        x = pairwise_cos(data)  # [B, N, N]
+        mask = 1.0 - jnp.eye(nelec)
+        # P_0 .. P_lmax by the three-term recurrence, averaged over pairs.
+        p_prev = jnp.ones_like(x)
+        p_cur = x
+        means = [jnp.asarray(1.0)]
+        for lval in range(1, lmax + 1):
+            means.append(jnp.mean(jnp.sum(p_cur * mask, (-2, -1))) / (nelec * (nelec - 1)))
+            p_prev, p_cur = p_cur, (
+                (2 * lval + 1) * x * p_cur - lval * p_prev
+            ) / (lval + 1)
+        return jnp.stack(means)
+
+    def init(steps: int):
+        del steps
+        return {"p_l": jnp.zeros(lmax + 1), "count": 0.0}
+
+    def evaluate(params, key, data, state):
+        del params, key
+        return {
+            "p_l": state["p_l"] + pair_legendre_means(data),
+            "count": state["count"] + 1.0,
+        }
+
+    def digest(state, steps: int):
+        del steps
+        p_l = np.asarray(jax.device_get(state["p_l"])) / float(
+            jax.device_get(state["count"])
+        )
+        return {"structure_factor": 1.0 + (nelec - 1) * p_l}
+
+    return Estimator(init, evaluate, digest)
+
+
 ESTIMATORS = {
     "density": make_density,
     "pair_corr": make_pair_corr,
     "one_rdm": make_one_rdm,
     "overlap": make_overlap,
     "ed_overlap": make_ed_overlap,
+    "structure_factor": make_structure_factor,
 }

@@ -150,6 +150,28 @@ def test_pair_correlation_curve_nu1_closed_form():
     np.testing.assert_allclose(curve, 1.0 - np.cos(t / 2.0) ** 4, atol=1e-12)
 
 
+def test_structure_factor_exact_identities():
+    """S_0 = N; S_1 = 1/(Q+1) for L=0 LLL states; nu=1 closed forms."""
+    r = ed.ed_block(3, 2, two_lz=0)  # nu=1: single determinant
+    s = ed.structure_factor(r, 2, lmax=4)
+    # Independent quadrature of the filled-LLL kernel 1 - cos^{4Q}(t/2).
+    nodes, w = np.polynomial.legendre.leggauss(64)
+    dens = 1.0 - ((1.0 + nodes) / 2.0) ** 2
+    z = np.sum(w * dens)
+    expected = [
+        1.0 + 2.0 * np.sum(w * dens * np.polynomial.legendre.Legendre.basis(L)(nodes)) / z
+        for L in range(5)
+    ]
+    np.testing.assert_allclose(s, expected, atol=1e-12)
+    np.testing.assert_allclose(s[0], 3.0, atol=1e-12)
+    np.testing.assert_allclose(s[1], 1.0 / 2.0, atol=1e-12)  # 1/(Q+1), Q=1
+
+    r13 = ed.ed_block(6, 15, two_lz=0)  # nu=1/3 production block
+    s13 = ed.structure_factor(r13, 15, lmax=2)
+    np.testing.assert_allclose(s13[0], 6.0, atol=1e-10)
+    np.testing.assert_allclose(s13[1], 1.0 / 8.5, atol=1e-10)  # 1/(Q+1), Q=7.5
+
+
 def test_pair_correlation_curve_requires_l0():
     res = ed.ed_block(6, 16, two_lz=0)  # quasihole block: L = 3 ground state
     with pytest.raises(ValueError, match="L=0"):

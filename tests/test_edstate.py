@@ -104,6 +104,37 @@ def test_mean_local_energy_is_eigenvalue(laughlin_block):
     )
 
 
+def test_structure_factor_estimator_matches_exact(laughlin_block):
+    """Measured S_L on |psi_ED|^2 walkers == exact ED multipoles (statistical)."""
+    from deephall_tpu import mcmc
+    from deephall_tpu.observables.estimators import make_structure_factor
+
+    system, network, result = laughlin_block
+    cfg = Config()
+    cfg.system = system
+    est = make_structure_factor(cfg, network, lmax=4)
+
+    step = jax.jit(
+        mcmc.make_mcmc_step(jax.vmap(network, in_axes=(None, 0)), steps=10)
+    )
+    data = _random_configs(jax.random.PRNGKey(9), 512, 3)
+    key = jax.random.PRNGKey(10)
+    width = jnp.asarray(0.3)
+    for _ in range(40):
+        key, sub = jax.random.split(key)
+        data, _ = step(None, data, sub, width)
+    state = est.init(10)
+    evaluate = jax.jit(est.evaluate)
+    for _ in range(10):
+        key, k_walk, k_eval = jax.random.split(key, 3)
+        data, _ = step(None, data, k_walk, width)
+        state = evaluate(None, k_eval, data, state)
+    measured = est.digest(state, 10)["structure_factor"]
+    exact = ed.structure_factor(result, 6, lmax=4)
+    np.testing.assert_allclose(measured[0], 3.0, atol=1e-9)  # S_0 = N exactly
+    np.testing.assert_allclose(measured, exact, atol=0.06)
+
+
 def test_ed_overlap_estimator_self_is_one(laughlin_block):
     from deephall_tpu.observables.estimators import make_ed_overlap
 
