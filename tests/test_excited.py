@@ -200,6 +200,40 @@ def test_excited_state_end_to_end(tmp_path):
     assert excited_energy - ground_energy > 0.08  # exact gap: 0.162
 
 
+def test_overlap_penalty_device_count_invariant():
+    """Penalty gradients/stats are identical on 1 vs 8 devices.
+
+    The overlap estimator's batch means must be *global* means over the walker
+    mesh (XLA inserts the collectives); any per-shard normalization bug would
+    show as a device-count-dependent gradient.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from deephall_tpu import parallel
+
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    system, model, params, params_phi, data = _setup(batch=16)
+    fixed = [lambda d: model.apply(params_phi, d)]
+    loss_fn = make_loss_fn(
+        model.apply, system, LossMode.ENERGY_GRAD, fixed_states=fixed
+    )
+
+    def run(n_devices):
+        mesh = parallel.get_mesh(jax.devices()[:n_devices])
+        sharded = jax.device_put(data, NamedSharding(mesh, P(parallel.DATA_AXIS)))
+        p = jax.device_put(params, NamedSharding(mesh, P()))
+        stats, grads = jax.jit(loss_fn)(p, sharded)
+        return float(stats["overlap"]), jax.device_get(grads)
+
+    o1, g1 = run(1)
+    o8, g8 = run(8)
+    assert abs(o1 - o8) < 1e-6
+    # atol matches test_sharding's: f32 reduction-order noise is ~1e-5 even for
+    # the unpenalized loss; a per-shard normalization bug would be O(1).
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g8)):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
 def test_overlap_stat_via_stats_and_clipped_diff():
     system, model, params, params_phi, data = _setup()
     el = jnp.zeros(data.shape[0], jnp.complex64)
