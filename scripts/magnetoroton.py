@@ -67,7 +67,17 @@ def main(argv: list[str] | None = None) -> None:
     parser.add_argument("--config", required=True, help="config.yml of the ground run")
     parser.add_argument("--out", required=True, help="output directory for sector runs")
     parser.add_argument("--sectors", type=int, nargs="+", default=[2, 3, 4, 5])
-    parser.add_argument("--iterations", type=int, default=20000)
+    parser.add_argument("--iterations", type=int, default=20000,
+                        help="iterations per sector run (on top of any warm start)")
+    parser.add_argument(
+        "--restore", default=None,
+        help="checkpoint to warm-start each sector run from (the converged "
+        "ground run). Measured necessary: from-scratch training against the "
+        "sector penalties stalls in penalty-dominated local optima, while a "
+        "warm-started run only has to climb out of the Lz=0 sector "
+        "(BASELINE.md round 3). Chained states warm-start from the previous "
+        "state in their chain.",
+    )
     parser.add_argument("--lz-penalty", type=float, default=1.0)
     parser.add_argument(
         "--overlap-penalty", type=float, default=1.0,
@@ -95,11 +105,19 @@ def main(argv: list[str] | None = None) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     dispersion = out_dir / "dispersion.csv"
 
+    def checkpoint_step(path: str) -> int:
+        return int(np.load(path, allow_pickle=True)["step"]) + 1
+
     for m in args.sectors:
         previous: list[str] = []
         for level in range(args.chain + 1):
             name = f"sector_{m}" if level == 0 else f"sector_{m}_state{level}"
             run_dir = out_dir / name
+            # Warm start: level 0 from the ground run, level k from the state
+            # it must become orthogonal to.  The driver keeps the restored step
+            # counter, so the iteration target is shifted accordingly.
+            restore = previous[-1] if previous else args.restore
+            base_step = checkpoint_step(restore) if restore else 0
             overrides = {
                 "system": {
                     "lz_center": float(m),
@@ -108,8 +126,8 @@ def main(argv: list[str] | None = None) -> None:
                     "orthogonal_states": previous,
                     "overlap_penalty": args.overlap_penalty,
                 },
-                "optim": {"iterations": args.iterations},
-                "log": {"save_path": str(run_dir), "restore_path": None},
+                "optim": {"iterations": base_step + args.iterations},
+                "log": {"save_path": str(run_dir), "restore_path": restore},
             }
             merged = merge_dicts(merge_dicts(dict(base), overrides),
                                  dotlist_to_dict(args.dotlist))

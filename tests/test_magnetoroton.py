@@ -60,6 +60,9 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     train_module = importlib.import_module("deephall_tpu.train")
     monkeypatch.setattr(train_module, "train", fake_train)
 
+    ground = tmp_path / "ground_ckpt_000049.npz"
+    np.savez(ground, step=49)
+
     out = tmp_path / "roton"
     magnetoroton.main(
         [
@@ -68,6 +71,7 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
             "--sectors", "2", "3",
             "--chain", "1",
             "--iterations", "123",
+            "--restore", str(ground),
             "--tail", "5",
             "--dotlist", "batch_size=512",
         ]
@@ -78,14 +82,18 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     first, chained, second, second_chained = seen
     assert first.system.lz_center == 2.0 and first.system.lz_penalty == 1.0
     assert first.system.orthogonal_states == ()
-    assert first.optim.iterations == 123
+    # Warm start from the ground checkpoint (step 49 -> 50 done already).
+    assert first.log.restore_path == str(ground)
+    assert first.optim.iterations == 50 + 123
     assert first.batch_size == 512
     assert first.system.flux == 15 and first.system.nspins == (6, 0)
-    # The chained run is orthogonal to the first run's newest checkpoint.
+    # The chained run warm-starts from and is orthogonal to the first state.
     assert chained.system.lz_center == 2.0
     assert chained.system.orthogonal_states == (
         str(out / "sector_2" / "ckpt_000099.npz"),
     )
+    assert chained.log.restore_path == str(out / "sector_2" / "ckpt_000099.npz")
+    assert chained.optim.iterations == 100 + 123
     assert second.system.lz_center == 3.0
     assert second.system.orthogonal_states == ()
     assert second_chained.system.orthogonal_states == (
