@@ -35,10 +35,13 @@ from __future__ import annotations
 
 import argparse
 import csv
+import sys
 from pathlib import Path
 
 import numpy as np
 import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def tail_stats(csv_path: Path, rows: int) -> dict[str, float]:
