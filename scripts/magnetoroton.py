@@ -6,16 +6,20 @@ computes exactly for small N — a capability beyond the reference's surface,
 which trains ground states only (its loss stops at the Lz/L^2 penalties,
 ``/root/reference/deephall/loss.py:76-88``).
 
-Method: on the sphere, ``L^2`` and ``Lz`` commute with ``H``; the lowest
-eigenstate of the ``Lz = m`` sector is the lowest-energy state with ``L >= m``
-(each L-multiplet contributes exactly one member per ``|Lz| <= L``).  Training
-with ``lz_penalty``/``lz_center = m`` therefore lands on the magnetoroton
-branch's lower envelope at ``L = m`` — the L=0 ground state is excluded
-automatically (it has no ``Lz = m`` member).  Where the branch dips below
-``E(L = m)`` (beyond the roton minimum), the sector minimum is a higher-L
-member; passing ``--chain`` re-runs the sector with an overlap penalty
-(``system.orthogonal_states``) against the first state to climb one level up
-the sector spectrum.
+Method: on the sphere, ``L^2`` and ``Lz`` commute with ``H``, and each
+L-multiplet contributes exactly one member per ``|Lz| <= L``.  A sector run
+minimizes the *linear* objective ``E + k_z <(Lz - m)^2> + k <L^2>``; linear
+combinations of commuting observables are extremal on eigenstates (vertices of
+the convex hull of ``(E, Lz, L^2)`` points), so the optimum is a pure
+eigenstate and the separately-measured energy is unbiased.  The ``L = m``
+magnetoroton member is the minimum-``L^2`` state of the ``Lz = m`` sector, so
+any ``k`` above ``gap / L^2-spacing`` selects it — the L=0 ground state is
+excluded automatically (its Lz penalty costs ``k_z m^2``).  Measured on CPU at
+N=4 (BASELINE.md): without the ``L^2`` term a sector run may land on a
+*different branch member* (Lz=3 found the L=4 state) or a slowly-converging
+mixture; with it, each sector converges to its ``L = m`` state.  ``--chain``
+adds overlap-penalty states above the first (higher bands), where the
+``L^2`` selector is disabled.
 
 Usage (production, one sector at a time on TPU):
 
@@ -83,6 +87,14 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--lz-penalty", type=float, default=1.0)
     parser.add_argument(
+        "--l2-penalty", type=float, default=0.5,
+        help="L^2 penalty selecting the L = m member of sector Lz = m: it is "
+        "the sector's minimum-L^2 state, and a linear combination E + k<L^2> "
+        "is extremal on an eigenstate (vertex of the convex hull), so the "
+        "measured energy stays unbiased. Any k > gap/(L^2 spacing) works; "
+        "set 0 to fall back to lowest-in-sector + --chain.",
+    )
+    parser.add_argument(
         "--overlap-penalty", type=float, default=1.0,
         help="penalty strength for --chain second states (must exceed the gap)",
     )
@@ -125,7 +137,7 @@ def main(argv: list[str] | None = None) -> None:
                 "system": {
                     "lz_center": float(m),
                     "lz_penalty": args.lz_penalty,
-                    "l2_penalty": 0.0,
+                    "l2_penalty": args.l2_penalty if level == 0 else 0.0,
                     "orthogonal_states": previous,
                     "overlap_penalty": args.overlap_penalty,
                 },
