@@ -310,6 +310,17 @@ def pair_correlation_curve(
     return 4.0 * np.pi * (two_q + 1) / nelec**2 * (occ_pairs @ f2)
 
 
+def state_l2(result: EDResult, two_q: int, state: int = 0) -> float:
+    """``<L^2>`` of eigenstate ``state`` (dense path keeps the vectors)."""
+    if state == 0:
+        vec = result.ground_state
+    else:
+        if result.states is None:
+            raise ValueError("EDResult carries no excited eigenvectors")
+        vec = result.states[:, state]
+    return float(vec @ _apply_total_l2(two_q, result.basis, vec))
+
+
 def structure_factor(result: EDResult, two_q: int, lmax: int = 8) -> np.ndarray:
     """Exact static structure factor multipoles of an ``L = 0`` eigenstate.
 

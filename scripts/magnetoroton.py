@@ -123,6 +123,31 @@ def main(argv: list[str] | None = None) -> None:
     def checkpoint_step(path: str) -> int:
         return int(np.load(path, allow_pickle=True)["step"]) + 1
 
+    def ed_sector_target(cfg, m: int, max_dim: int = 20000):
+        """Exact ``L = m`` member of the ``Lz = m`` block, where ED is feasible.
+
+        Returns ``(total_energy, exact_l2, state_index)`` or ``None`` (block
+        bigger than ``max_dim``, or no ``L = m`` state among the lowest few).
+        """
+        from deephall_tpu.observables import ed
+
+        nelec = sum(cfg.system.nspins)
+        two_q = abs(cfg.system.flux)
+        if len(ed.lz_basis(two_q + 1, nelec, 2 * m)) > max_dim:
+            return None
+        result = ed.ed_block(
+            nelec, two_q, interaction=str(cfg.system.interaction_type),
+            two_lz=2 * m, radius=cfg.system.radius, num_states=8,
+        )
+        for k in range(len(result.energies)):
+            l2 = ed.state_l2(result, two_q, k)
+            if abs(l2 - m * (m + 1)) < 0.5:
+                total = nelec / 2.0 + cfg.system.interaction_strength * float(
+                    result.energies[k]
+                )
+                return total, l2, k
+        return None
+
     for m in args.sectors:
         previous: list[str] = []
         for level in range(args.chain + 1):
@@ -153,9 +178,22 @@ def main(argv: list[str] | None = None) -> None:
             previous = [*previous, str(ckpts[-1])]
             row = {"sector": m, "level": level,
                    **tail_stats(run_dir / "train_stats.csv", args.tail)}
+            if level == 0 and args.l2_penalty:
+                # Exact anchor for the L = m member (small/medium blocks).
+                target = ed_sector_target(cfg, m)
+                if target is not None:
+                    row["ed_energy"], row["ed_l2"], row["ed_state"] = target
             write_header = not dispersion.exists()
             with open(dispersion, "a", newline="") as f:
-                writer = csv.DictWriter(f, fieldnames=list(row))
+                writer = csv.DictWriter(
+                    f,
+                    fieldnames=[
+                        "sector", "level", "energy", "energy_err", "variance",
+                        "L_square", "Lz", "overlap", "ed_energy", "ed_l2",
+                        "ed_state",
+                    ],
+                    restval="",
+                )
                 if write_header:
                     writer.writeheader()
                 writer.writerow(row)

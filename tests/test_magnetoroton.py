@@ -107,3 +107,9 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     ]
     assert float(rows[0]["energy"]) == 7.1
     assert "overlap" in rows[0]
+    # Level-0 rows carry the exact ED anchor for the L=m sector member
+    # (the production N=6, 2Q=15 blocks are dense-feasible); the exact L=2
+    # magnetoroton energy is E0 + 0.1317 (BASELINE.md spectra).
+    assert rows[0]["ed_l2"] != "" and abs(float(rows[0]["ed_l2"]) - 6.0) < 1e-6
+    assert abs(float(rows[0]["ed_energy"]) - (6.87163 + 0.1317)) < 2e-4
+    assert rows[1]["ed_energy"] == ""  # chained levels have no selector anchor
