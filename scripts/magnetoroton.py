@@ -158,22 +158,37 @@ def main(argv: list[str] | None = None) -> None:
             # counter, so the iteration target is shifted accordingly.
             restore = previous[-1] if previous else args.restore
             base_step = checkpoint_step(restore) if restore else 0
-            overrides = {
-                "system": {
-                    "lz_center": float(m),
-                    "lz_penalty": args.lz_penalty,
-                    "l2_penalty": args.l2_penalty if level == 0 else 0.0,
-                    "orthogonal_states": previous,
-                    "overlap_penalty": args.overlap_penalty,
-                },
-                "optim": {"iterations": base_step + args.iterations},
-                "log": {"save_path": str(run_dir), "restore_path": restore},
-            }
-            merged = merge_dicts(merge_dicts(dict(base), overrides),
-                                 dotlist_to_dict(args.dotlist))
-            cfg = Config.from_dict(merged)
+            # Two stages for the L^2-selected state (measured necessary at
+            # N=4): a symmetry eigenstate is a stationary point of every
+            # penalty's covariance gradient (the local values are constant),
+            # and with the L^2 term on from the start the warm-started run
+            # never leaves the ground state.  Stage A escapes the Lz=0 sector
+            # with the Lz penalty alone; stage B resumes the same run with the
+            # L^2 selector on to purify the targeted L = m member.
+            if level == 0 and args.l2_penalty:
+                phases = [
+                    (0.0, base_step + args.iterations // 2),
+                    (args.l2_penalty, base_step + args.iterations),
+                ]
+            else:
+                phases = [(0.0, base_step + args.iterations)]
             print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
-            train(cfg)
+            for l2_value, iteration_target in phases:
+                overrides = {
+                    "system": {
+                        "lz_center": float(m),
+                        "lz_penalty": args.lz_penalty,
+                        "l2_penalty": l2_value,
+                        "orthogonal_states": previous,
+                        "overlap_penalty": args.overlap_penalty,
+                    },
+                    "optim": {"iterations": iteration_target},
+                    "log": {"save_path": str(run_dir), "restore_path": restore},
+                }
+                merged = merge_dicts(merge_dicts(dict(base), overrides),
+                                     dotlist_to_dict(args.dotlist))
+                cfg = Config.from_dict(merged)
+                train(cfg)
             ckpts = sorted(run_dir.glob("ckpt_*.npz"))
             previous = [*previous, str(ckpts[-1])]
             row = {"sector": m, "level": level,

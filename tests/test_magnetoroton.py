@@ -72,23 +72,30 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
             "--chain", "1",
             "--iterations", "123",
             "--restore", str(ground),
+            "--l2-penalty", "0.4",
             "--tail", "5",
             "--dotlist", "batch_size=512",
         ]
     )
 
-    # 2 sectors x (1 + 1 chained) runs, in order.
-    assert len(seen) == 4
-    first, chained, second, second_chained = seen
-    assert first.system.lz_center == 2.0 and first.system.lz_penalty == 1.0
-    assert first.system.orthogonal_states == ()
+    # 2 sectors x (two-stage level 0 + 1 chained) runs, in order.
+    assert len(seen) == 6
+    escape, purify, chained, second, second_purify, second_chained = seen
+    # Stage A escapes with the Lz penalty alone; stage B adds the L^2 selector.
+    assert escape.system.lz_center == 2.0 and escape.system.lz_penalty == 1.0
+    assert escape.system.l2_penalty == 0.0
+    assert escape.system.orthogonal_states == ()
     # Warm start from the ground checkpoint (step 49 -> 50 done already).
-    assert first.log.restore_path == str(ground)
-    assert first.optim.iterations == 50 + 123
-    assert first.batch_size == 512
-    assert first.system.flux == 15 and first.system.nspins == (6, 0)
+    assert escape.log.restore_path == str(ground)
+    assert escape.optim.iterations == 50 + 61  # half the budget
+    assert escape.batch_size == 512
+    assert escape.system.flux == 15 and escape.system.nspins == (6, 0)
+    assert purify.system.l2_penalty == 0.4
+    assert purify.optim.iterations == 50 + 123
+    assert purify.log.save_path == escape.log.save_path
     # The chained run warm-starts from and is orthogonal to the first state.
     assert chained.system.lz_center == 2.0
+    assert chained.system.l2_penalty == 0.0
     assert chained.system.orthogonal_states == (
         str(out / "sector_2" / "ckpt_000099.npz"),
     )
@@ -96,6 +103,7 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert chained.optim.iterations == 100 + 123
     assert second.system.lz_center == 3.0
     assert second.system.orthogonal_states == ()
+    assert second_purify.system.l2_penalty == 0.4
     assert second_chained.system.orthogonal_states == (
         str(out / "sector_3" / "ckpt_000099.npz"),
     )
@@ -105,7 +113,7 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert [(r["sector"], r["level"]) for r in rows] == [
         ("2", "0"), ("2", "1"), ("3", "0"), ("3", "1")
     ]
-    assert float(rows[0]["energy"]) == 7.1
+    assert float(rows[0]["energy"]) == 7.2  # stats of the stage-B (purify) run
     assert "overlap" in rows[0]
     # Level-0 rows carry the exact ED anchor for the L=m sector member
     # (the production N=6, 2Q=15 blocks are dense-feasible); the exact L=2
