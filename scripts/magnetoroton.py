@@ -166,18 +166,25 @@ def main(argv: list[str] | None = None) -> None:
             # with the Lz penalty alone; stage B resumes the same run with the
             # L^2 selector on to purify the targeted L = m member.
             if level == 0 and args.l2_penalty:
+                # The escape kick is deliberately strong: the gradient grows
+                # proportionally to the (tiny) symmetry-breaking admixture in
+                # the warm start, and at the nominal penalty the instability
+                # may not amplify within the stage (observed: identically
+                # configured escape runs either left the sector in ~200 steps
+                # or sat at the ground for 1500).
                 phases = [
-                    (0.0, base_step + args.iterations // 2),
-                    (args.l2_penalty, base_step + args.iterations),
+                    (0.0, 4.0 * args.lz_penalty, base_step + args.iterations // 2),
+                    (args.l2_penalty, args.lz_penalty, base_step + args.iterations),
                 ]
             else:
-                phases = [(0.0, base_step + args.iterations)]
+                phases = [(0.0, args.lz_penalty, base_step + args.iterations)]
             print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
-            for l2_value, iteration_target in phases:
+            for l2_value, lz_value, iteration_target in phases:
                 overrides = {
+                    "seed": int(base.get("seed", 1)) + 101 * m + level,
                     "system": {
                         "lz_center": float(m),
-                        "lz_penalty": args.lz_penalty,
+                        "lz_penalty": lz_value,
                         "l2_penalty": l2_value,
                         "orthogonal_states": previous,
                         "overlap_penalty": args.overlap_penalty,

@@ -82,8 +82,10 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert len(seen) == 6
     escape, purify, chained, second, second_purify, second_chained = seen
     # Stage A escapes with the Lz penalty alone; stage B adds the L^2 selector.
-    assert escape.system.lz_center == 2.0 and escape.system.lz_penalty == 1.0
+    assert escape.system.lz_center == 2.0
+    assert escape.system.lz_penalty == 4.0  # strong symmetry-breaking kick
     assert escape.system.l2_penalty == 0.0
+    assert escape.seed == base_cfg.seed + 101 * 2  # decorrelated per sector
     assert escape.system.orthogonal_states == ()
     # Warm start from the ground checkpoint (step 49 -> 50 done already).
     assert escape.log.restore_path == str(ground)
@@ -91,6 +93,7 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert escape.batch_size == 512
     assert escape.system.flux == 15 and escape.system.nspins == (6, 0)
     assert purify.system.l2_penalty == 0.4
+    assert purify.system.lz_penalty == 1.0
     assert purify.optim.iterations == 50 + 123
     assert purify.log.save_path == escape.log.save_path
     # The chained run warm-starts from and is orthogonal to the first state.
