@@ -148,6 +148,12 @@ def main(argv: list[str] | None = None) -> None:
                 return total, l2, k
         return None
 
+    # The ground state is an orthogonality rail for every sector run: the
+    # targets live in other Lz sectors, so the penalty is exactly zero at
+    # convergence (no bias) but blocks the measured failure mode where the
+    # purify stage's L^2 descent overshoots back into the ground basin.
+    anchor = [args.restore] if args.restore else []
+
     for m in args.sectors:
         previous: list[str] = []
         for level in range(args.chain + 1):
@@ -186,7 +192,7 @@ def main(argv: list[str] | None = None) -> None:
                         "lz_center": float(m),
                         "lz_penalty": lz_value,
                         "l2_penalty": l2_value,
-                        "orthogonal_states": previous,
+                        "orthogonal_states": anchor + previous,
                         "overlap_penalty": args.overlap_penalty,
                     },
                     "optim": {"iterations": iteration_target},

@@ -86,7 +86,7 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert escape.system.lz_penalty == 4.0  # strong symmetry-breaking kick
     assert escape.system.l2_penalty == 0.0
     assert escape.seed == base_cfg.seed + 101 * 2  # decorrelated per sector
-    assert escape.system.orthogonal_states == ()
+    assert escape.system.orthogonal_states == (str(ground),)  # anti-fall-back rail
     # Warm start from the ground checkpoint (step 49 -> 50 done already).
     assert escape.log.restore_path == str(ground)
     assert escape.optim.iterations == 50 + 61  # half the budget
@@ -100,14 +100,16 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert chained.system.lz_center == 2.0
     assert chained.system.l2_penalty == 0.0
     assert chained.system.orthogonal_states == (
+        str(ground),
         str(out / "sector_2" / "ckpt_000099.npz"),
     )
     assert chained.log.restore_path == str(out / "sector_2" / "ckpt_000099.npz")
     assert chained.optim.iterations == 100 + 123
     assert second.system.lz_center == 3.0
-    assert second.system.orthogonal_states == ()
+    assert second.system.orthogonal_states == (str(ground),)
     assert second_purify.system.l2_penalty == 0.4
     assert second_chained.system.orthogonal_states == (
+        str(ground),
         str(out / "sector_3" / "ckpt_000099.npz"),
     )
 
