@@ -13,8 +13,11 @@ combinations of commuting observables are extremal on eigenstates (vertices of
 the convex hull of ``(E, Lz, L^2)`` points), so the optimum is a pure
 eigenstate and the separately-measured energy is unbiased.  The ``L = m``
 magnetoroton member is the minimum-``L^2`` state of the ``Lz = m`` sector, so
-any ``k`` above ``gap / L^2-spacing`` selects it — the L=0 ground state is
-excluded automatically (its Lz penalty costs ``k_z m^2``).  Measured on CPU at
+any ``k`` in the window ``gap / L^2-spacing < k < k_z / 2 m_max`` selects it —
+below the lower edge the sector minimum wins, above the upper edge the state
+tunnels into a lower-L *sector* (the L^2 saving beats the Lz mismatch) — and
+the L=0 ground state is excluded automatically (its Lz penalty costs
+``k_z m^2``).  Measured on CPU at
 N=4 (BASELINE.md): without the ``L^2`` term a sector run may land on a
 *different branch member* (Lz=3 found the L=4 state) or a slowly-converging
 mixture; with it, each sector converges to its ``L = m`` state.  ``--chain``
@@ -87,12 +90,16 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--lz-penalty", type=float, default=1.0)
     parser.add_argument(
-        "--l2-penalty", type=float, default=0.5,
+        "--l2-penalty", type=float, default=0.1,
         help="L^2 penalty selecting the L = m member of sector Lz = m: it is "
         "the sector's minimum-L^2 state, and a linear combination E + k<L^2> "
         "is extremal on an eigenstate (vertex of the convex hull), so the "
-        "measured energy stays unbiased. Any k > gap/(L^2 spacing) works; "
-        "set 0 to fall back to lowest-in-sector + --chain.",
+        "measured energy stays unbiased. Two-sided window (measured at N=4): "
+        "k must exceed gap/within-sector-L^2-spacing to purify, but stay "
+        "BELOW lz_penalty/(2 m_max) or the L^2 term overwhelms the Lz "
+        "mismatch and the run escapes into a lower-L sector (k=0.5 sent the "
+        "Lz=3 run to the L=2, Lz=2 state). Set 0 to fall back to "
+        "lowest-in-sector + --chain.",
     )
     parser.add_argument(
         "--overlap-penalty", type=float, default=1.0,
