@@ -192,7 +192,14 @@ def main(argv: list[str] | None = None) -> None:
             else:
                 phases = [(0.0, args.lz_penalty, base_step + args.iterations)]
             print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
-            for l2_value, lz_value, iteration_target in phases:
+            for phase_index, (l2_value, lz_value, iteration_target) in enumerate(
+                phases
+            ):
+                # Only the first phase restores from the warm-start checkpoint:
+                # an explicit restore_path takes precedence over the run's own
+                # save dir (LogManager contract), so later phases must clear it
+                # to resume the previous phase instead of rewinding to the
+                # ground state.
                 overrides = {
                     "seed": int(base.get("seed", 1)) + 101 * m + level,
                     "system": {
@@ -203,7 +210,10 @@ def main(argv: list[str] | None = None) -> None:
                         "overlap_penalty": args.overlap_penalty,
                     },
                     "optim": {"iterations": iteration_target},
-                    "log": {"save_path": str(run_dir), "restore_path": restore},
+                    "log": {
+                        "save_path": str(run_dir),
+                        "restore_path": restore if phase_index == 0 else None,
+                    },
                 }
                 merged = merge_dicts(merge_dicts(dict(base), overrides),
                                      dotlist_to_dict(args.dotlist))

@@ -96,6 +96,9 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert purify.system.lz_penalty == 1.0
     assert purify.optim.iterations == 50 + 123
     assert purify.log.save_path == escape.log.save_path
+    # Phase 2 resumes its own save dir; an explicit restore_path would rewind
+    # to the ground checkpoint (LogManager gives it precedence).
+    assert purify.log.restore_path is None
     # The chained run warm-starts from and is orthogonal to the first state.
     assert chained.system.lz_center == 2.0
     assert chained.system.l2_penalty == 0.0
