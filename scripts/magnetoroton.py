@@ -51,6 +51,61 @@ import yaml
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def plan_phases(
+    level: int, l2_penalty: float, lz_penalty: float,
+    base_step: int, iterations: int,
+) -> list[tuple[float, float, int]]:
+    """Stage plan ``[(l2_penalty, lz_penalty, iteration_target), ...]``.
+
+    Two stages for the L^2-selected first state (measured necessary at N=4):
+    a symmetry eigenstate is a stationary point of every penalty's covariance
+    gradient (the local values are constant), and with the L^2 term on from
+    the start the warm-started run never leaves the ground state.  Stage A
+    escapes the Lz=0 sector with a deliberately strong Lz kick — the gradient
+    grows proportionally to the (tiny) symmetry-breaking admixture in the warm
+    start, and at the nominal penalty the instability may not amplify within
+    the stage (observed: identically configured escape runs either left the
+    sector in ~200 steps or sat at the ground for 1500).  Stage B resumes the
+    same run with the L^2 selector on to purify the targeted L = m member.
+    """
+    if level == 0 and l2_penalty:
+        return [
+            (0.0, 4.0 * lz_penalty, base_step + iterations // 2),
+            (l2_penalty, lz_penalty, base_step + iterations),
+        ]
+    return [(0.0, lz_penalty, base_step + iterations)]
+
+
+def phase_overrides(
+    *, base_seed: int, m: int, level: int, phase_index: int,
+    l2_value: float, lz_value: float, iteration_target: int,
+    run_dir: str, restore: str | None, orthogonal: list[str],
+    overlap_penalty: float,
+) -> dict:
+    """Config overrides for one phase of one sector run.
+
+    Only the first phase restores from the warm-start checkpoint: an explicit
+    ``restore_path`` takes precedence over the run's own save dir (LogManager
+    contract, ``deephall_tpu/log.py``), so later phases must clear it to
+    resume the previous phase instead of rewinding to the ground state.
+    """
+    return {
+        "seed": base_seed + 101 * m + level,
+        "system": {
+            "lz_center": float(m),
+            "lz_penalty": lz_value,
+            "l2_penalty": l2_value,
+            "orthogonal_states": orthogonal,
+            "overlap_penalty": overlap_penalty,
+        },
+        "optim": {"iterations": iteration_target},
+        "log": {
+            "save_path": run_dir,
+            "restore_path": restore if phase_index == 0 else None,
+        },
+    }
+
+
 def tail_stats(csv_path: Path, rows: int) -> dict[str, float]:
     with open(csv_path) as f:
         table = list(csv.DictReader(f))
@@ -171,50 +226,22 @@ def main(argv: list[str] | None = None) -> None:
             # counter, so the iteration target is shifted accordingly.
             restore = previous[-1] if previous else args.restore
             base_step = checkpoint_step(restore) if restore else 0
-            # Two stages for the L^2-selected state (measured necessary at
-            # N=4): a symmetry eigenstate is a stationary point of every
-            # penalty's covariance gradient (the local values are constant),
-            # and with the L^2 term on from the start the warm-started run
-            # never leaves the ground state.  Stage A escapes the Lz=0 sector
-            # with the Lz penalty alone; stage B resumes the same run with the
-            # L^2 selector on to purify the targeted L = m member.
-            if level == 0 and args.l2_penalty:
-                # The escape kick is deliberately strong: the gradient grows
-                # proportionally to the (tiny) symmetry-breaking admixture in
-                # the warm start, and at the nominal penalty the instability
-                # may not amplify within the stage (observed: identically
-                # configured escape runs either left the sector in ~200 steps
-                # or sat at the ground for 1500).
-                phases = [
-                    (0.0, 4.0 * args.lz_penalty, base_step + args.iterations // 2),
-                    (args.l2_penalty, args.lz_penalty, base_step + args.iterations),
-                ]
-            else:
-                phases = [(0.0, args.lz_penalty, base_step + args.iterations)]
+            phases = plan_phases(
+                level, args.l2_penalty, args.lz_penalty, base_step,
+                args.iterations,
+            )
             print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
             for phase_index, (l2_value, lz_value, iteration_target) in enumerate(
                 phases
             ):
-                # Only the first phase restores from the warm-start checkpoint:
-                # an explicit restore_path takes precedence over the run's own
-                # save dir (LogManager contract), so later phases must clear it
-                # to resume the previous phase instead of rewinding to the
-                # ground state.
-                overrides = {
-                    "seed": int(base.get("seed", 1)) + 101 * m + level,
-                    "system": {
-                        "lz_center": float(m),
-                        "lz_penalty": lz_value,
-                        "l2_penalty": l2_value,
-                        "orthogonal_states": anchor + previous,
-                        "overlap_penalty": args.overlap_penalty,
-                    },
-                    "optim": {"iterations": iteration_target},
-                    "log": {
-                        "save_path": str(run_dir),
-                        "restore_path": restore if phase_index == 0 else None,
-                    },
-                }
+                overrides = phase_overrides(
+                    base_seed=int(base.get("seed", 1)), m=m, level=level,
+                    phase_index=phase_index, l2_value=l2_value,
+                    lz_value=lz_value, iteration_target=iteration_target,
+                    run_dir=str(run_dir), restore=restore,
+                    orthogonal=anchor + previous,
+                    overlap_penalty=args.overlap_penalty,
+                )
                 merged = merge_dicts(merge_dicts(dict(base), overrides),
                                      dotlist_to_dict(args.dotlist))
                 cfg = Config.from_dict(merged)
