@@ -100,15 +100,34 @@ def make_ed_logpsi(result: ed.EDResult, two_q: int, state: int = 0):
     return logpsi
 
 
-def make_ed_network(system: System, state: int = 0, two_lz: int = 0):
+def make_ed_network(
+    system: System, state: int = 0, two_lz: int = 0, max_dim: int = 20000
+):
     """Run ED for ``system`` and wrap the eigenstate in the network protocol.
 
     Returns ``(network, result)`` where ``network(params, data)`` ignores
     ``params`` (the state has none) — the same calling convention as
     ``model.apply``, so it drops into ``hamiltonian.local_energy``, the
     overlap machinery and ``loss`` fixed-state hooks unchanged.
+
+    Raises:
+        ValueError: If the Lz block exceeds ``max_dim``.  Both halves of this
+            bridge scale with the dimension — the dense ``ed_block`` holds a
+            ``dim^2`` float64 Hamiltonian (~80 GB at the N=10 production
+            block's 246k states) and the wavefunction itself is a sum of
+            ``dim`` determinants per walker — so a large block must fail fast
+            here rather than stall the runner for minutes first.
     """
     nelec = sum(system.nspins)
+    dim = ed.lz_block_dim(abs(system.flux) + 1, nelec, two_lz)
+    if dim > max_dim:
+        raise ValueError(
+            f"ED block N={nelec}, 2Q={abs(system.flux)}, 2Lz={two_lz} has "
+            f"{dim} states (> max_dim={max_dim}): too large to use as a "
+            "first-quantized wavefunction (the evaluator sums one determinant "
+            "per basis state). Use the Laughlin/CF overlap estimator or the "
+            "native Lanczos backend for energies instead."
+        )
     result = ed.ed_block(
         nelec,
         abs(system.flux),

@@ -279,15 +279,7 @@ def pair_correlation_curve(
         )
     n_orb = two_q + 1
     nelec = len(result.basis[0])
-    pole = n_orb - 1  # the m = +Q orbital
-    # pair occupations <n_Q n_b> over the ground state
-    occ_pairs = np.zeros(n_orb)
-    for amp, occ in zip(result.ground_state, result.basis):
-        if pole in occ:
-            w = amp * amp
-            for b in occ:
-                if b != pole:
-                    occ_pairs[b] += w
+    occ_pairs = _pole_pair_occupations(result, n_orb)
     centers = (np.arange(bins) + 0.5) * np.pi / bins
     x = np.cos(centers)
     # grid-free normalization: 2 pi int f_m^2 dx = 1 analytically via the
@@ -308,6 +300,23 @@ def pair_correlation_curve(
     )
     f2 = np.exp(log_c2[:, None] + logs)  # f_b(x)^2, normalized
     return 4.0 * np.pi * (two_q + 1) / nelec**2 * (occ_pairs @ f2)
+
+
+def _pole_pair_occupations(result: EDResult, n_orb: int) -> np.ndarray:
+    """Ground-state pair occupations ``<n_Q n_b>`` against the pole orbital.
+
+    Rotational invariance collapses the 2-RDM of an ``L = 0`` state onto these
+    (shared by :func:`pair_correlation_curve` and :func:`structure_factor`).
+    """
+    pole = n_orb - 1  # the m = +Q orbital
+    occ_pairs = np.zeros(n_orb)
+    for amp, occ in zip(result.ground_state, result.basis):
+        if pole in occ:
+            w = amp * amp
+            for b in occ:
+                if b != pole:
+                    occ_pairs[b] += w
+    return occ_pairs
 
 
 def state_l2(result: EDResult, two_q: int, state: int = 0) -> float:
@@ -349,14 +358,7 @@ def structure_factor(result: EDResult, two_q: int, lmax: int = 8) -> np.ndarray:
         )
     n_orb = two_q + 1
     nelec = len(result.basis[0])
-    pole = n_orb - 1
-    occ_pairs = np.zeros(n_orb)
-    for amp, occ in zip(result.ground_state, result.basis):
-        if pole in occ:
-            w = amp * amp
-            for b in occ:
-                if b != pole:
-                    occ_pairs[b] += w
+    occ_pairs = _pole_pair_occupations(result, n_orb)
     nodes, weights = np.polynomial.legendre.leggauss(2 * two_q + lmax + 16)
     f2 = _radial_profiles(two_q, nodes) ** 2  # unnormalized; constants cancel
     norm = np.sum(weights * f2, axis=1)
@@ -377,6 +379,31 @@ def lz_basis(n_orb: int, nelec: int, two_lz: int) -> list[tuple[int, ...]]:
         if sum(2 * i - two_q for i in occ) == two_lz:
             out.append(occ)
     return out
+
+
+def lz_block_dim(n_orb: int, nelec: int, two_lz: int) -> int:
+    """Dimension of the ``Lz`` block, without enumerating it.
+
+    Counting DP over orbitals (subset-sum occupation count), O(n_orb^2 nelec)
+    — feasibility guards must not pay the full ``lz_basis`` walk (13M
+    combinations at N=10, 2Q=27) just to learn a block is too big.
+    Pinned against ``len(lz_basis(...))`` in ``tests/test_ed.py``.
+    """
+    # counts[k][s] = #subsets of the first o orbitals with k electrons and
+    # index sum s; sum 2m = two_lz <=> index sum = (two_lz + nelec*(n_orb-1))/2.
+    target2 = two_lz + nelec * (n_orb - 1)
+    if target2 % 2 or target2 < 0:
+        return 0
+    target = target2 // 2
+    max_sum = min(target, nelec * (n_orb - 1))
+    counts = np.zeros((nelec + 1, max_sum + 1), dtype=np.int64)
+    counts[0, 0] = 1
+    for orb in range(n_orb):
+        for k in range(min(nelec, orb + 1), 0, -1):
+            hi = max_sum - orb
+            if hi >= 0:
+                counts[k, orb:] += counts[k - 1, : hi + 1]
+    return int(counts[nelec, target]) if target <= max_sum else 0
 
 
 def _apply_interaction(
@@ -531,12 +558,8 @@ def hardcore_v1_elements(two_q: int) -> np.ndarray:
     the many-body machinery (arXiv:2412.14795's model-interaction anchor).
     """
     n = two_q + 1
-    v4_h = pair_elements(two_q, "harmonic")
-    # Eigen-decompose the *symmetric+antisymmetric* pair space of the harmonic
-    # interaction to find the J = 2Q-1 antisymmetric multiplet, then build the
-    # projector onto it.  Simpler: construct pair states |J=2Q-1, M> directly
-    # from Clebsch-Gordan-free ladder operations.
-    del v4_h
+    # Construct the pair states |J=2Q-1, M> directly from Clebsch-Gordan-free
+    # ladder operations and project onto the multiplet.
     q_half = two_q / 2.0
     ms = np.arange(n) - q_half
 

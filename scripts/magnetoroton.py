@@ -151,10 +151,11 @@ def main(argv: list[str] | None = None) -> None:
         "is extremal on an eigenstate (vertex of the convex hull), so the "
         "measured energy stays unbiased. Two-sided window (measured at N=4): "
         "k must exceed gap/within-sector-L^2-spacing to purify, but stay "
-        "BELOW lz_penalty/(2 m_max) or the L^2 term overwhelms the Lz "
+        "BELOW lz_penalty/(2 m) or the L^2 term overwhelms the Lz "
         "mismatch and the run escapes into a lower-L sector (k=0.5 sent the "
-        "Lz=3 run to the L=2, Lz=2 state). Set 0 to fall back to "
-        "lowest-in-sector + --chain.",
+        "Lz=3 run to the L=2, Lz=2 state). The driver clamps the value to "
+        "0.8*lz_penalty/(2 m) per sector, so the upper edge never binds at "
+        "the outer sectors. Set 0 to fall back to lowest-in-sector + --chain.",
     )
     parser.add_argument(
         "--overlap-penalty", type=float, default=1.0,
@@ -172,7 +173,7 @@ def main(argv: list[str] | None = None) -> None:
     args = parser.parse_args(argv)
 
     # Import late: the CLI path initialises the (possibly remote) backend.
-    from deephall_tpu.config import Config, dotlist_to_dict, merge_dicts, to_dict
+    from deephall_tpu.config import Config, dotlist_to_dict, merge_dicts
     from deephall_tpu.train import train
 
     with open(args.config, encoding="utf8") as f:
@@ -195,7 +196,10 @@ def main(argv: list[str] | None = None) -> None:
 
         nelec = sum(cfg.system.nspins)
         two_q = abs(cfg.system.flux)
-        if len(ed.lz_basis(two_q + 1, nelec, 2 * m)) > max_dim:
+        # Counting DP, not the full lz_basis enumeration: the N=10 production
+        # blocks have ~1e5 states out of 13M combinations, and this guard must
+        # not stall the driver for minutes just to return None.
+        if ed.lz_block_dim(two_q + 1, nelec, 2 * m) > max_dim:
             return None
         result = ed.ed_block(
             nelec, two_q, interaction=str(cfg.system.interaction_type),
@@ -217,6 +221,21 @@ def main(argv: list[str] | None = None) -> None:
     anchor = [args.restore] if args.restore else []
 
     for m in args.sectors:
+        # Keep the selector inside its stability window per sector: tunneling
+        # from (L=m, Lz=m) to (L=m-1, Lz=m-1) costs lz_penalty but saves
+        # 2*m*k of L^2 penalty, so k must stay below lz_penalty/(2m) — with
+        # one global k the documented upper edge binds at the OUTERMOST
+        # sector, and the default 0.1 would already tunnel at m >= 5.
+        l2_penalty = args.l2_penalty
+        if l2_penalty and m > 0:
+            bound = 0.8 * args.lz_penalty / (2.0 * m)
+            if l2_penalty > bound:
+                print(
+                    f"sector {m}: clamping l2_penalty {l2_penalty} -> "
+                    f"{bound:.4f} (stability window k < lz_penalty/2m)",
+                    flush=True,
+                )
+                l2_penalty = bound
         previous: list[str] = []
         for level in range(args.chain + 1):
             name = f"sector_{m}" if level == 0 else f"sector_{m}_state{level}"
@@ -227,7 +246,7 @@ def main(argv: list[str] | None = None) -> None:
             restore = previous[-1] if previous else args.restore
             base_step = checkpoint_step(restore) if restore else 0
             phases = plan_phases(
-                level, args.l2_penalty, args.lz_penalty, base_step,
+                level, l2_penalty, args.lz_penalty, base_step,
                 args.iterations,
             )
             print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
@@ -248,9 +267,17 @@ def main(argv: list[str] | None = None) -> None:
                 train(cfg)
             ckpts = sorted(run_dir.glob("ckpt_*.npz"))
             previous = [*previous, str(ckpts[-1])]
+            # StatsWriter appends across phases, so cap the tail at the final
+            # phase's row count — averaging escape-phase rows (4x Lz kick, no
+            # selector) into the dispersion point would corrupt it.
+            final_phase_rows = (
+                args.iterations - args.iterations // 2
+                if len(phases) > 1 else args.iterations
+            )
             row = {"sector": m, "level": level,
-                   **tail_stats(run_dir / "train_stats.csv", args.tail)}
-            if level == 0 and args.l2_penalty:
+                   **tail_stats(run_dir / "train_stats.csv",
+                                min(args.tail, final_phase_rows))}
+            if level == 0 and l2_penalty:
                 # Exact anchor for the L = m member (small/medium blocks).
                 target = ed_sector_target(cfg, m)
                 if target is not None:

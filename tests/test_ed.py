@@ -197,3 +197,19 @@ def test_lz_sectors_consistent():
     e1 = np.sort(np.linalg.eigvalsh(h1))
     for val in e1:
         assert np.min(np.abs(e0 - val)) < 1e-9
+
+
+def test_lz_block_dim_matches_enumeration():
+    """Counting-DP block dimension equals the enumerated basis size.
+
+    The DP is the feasibility guard for the magnetoroton driver and the
+    ed_overlap estimator (the full lz_basis walk is 13M combinations at the
+    N=10 production block), so it must agree exactly with the enumeration
+    wherever enumeration is cheap — including odd 2Lz (empty for these
+    parities) and out-of-range sectors.
+    """
+    for n_orb, nelec in [(7, 3), (10, 4), (16, 6)]:
+        for two_lz in range(-2 * n_orb, 2 * n_orb + 1):
+            assert ed.lz_block_dim(n_orb, nelec, two_lz) == len(
+                ed.lz_basis(n_orb, nelec, two_lz)
+            ), (n_orb, nelec, two_lz)

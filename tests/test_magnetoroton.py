@@ -92,7 +92,10 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert escape.optim.iterations == 50 + 61  # half the budget
     assert escape.batch_size == 512
     assert escape.system.flux == 15 and escape.system.nspins == (6, 0)
-    assert purify.system.l2_penalty == 0.4
+    # The requested 0.4 exceeds the m=2 stability window (k < lz_penalty/2m);
+    # the driver clamps to 0.8 * 1.0 / (2*2) so the run cannot tunnel into
+    # the L=1 sector.
+    assert purify.system.l2_penalty == 0.2
     assert purify.system.lz_penalty == 1.0
     assert purify.optim.iterations == 50 + 123
     assert purify.log.save_path == escape.log.save_path
@@ -110,7 +113,7 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert chained.optim.iterations == 100 + 123
     assert second.system.lz_center == 3.0
     assert second.system.orthogonal_states == (str(ground),)
-    assert second_purify.system.l2_penalty == 0.4
+    assert second_purify.system.l2_penalty == 0.8 / 6  # m=3 window clamp
     assert second_chained.system.orthogonal_states == (
         str(ground),
         str(out / "sector_3" / "ckpt_000099.npz"),
