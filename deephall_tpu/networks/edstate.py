@@ -101,7 +101,7 @@ def make_ed_logpsi(result: ed.EDResult, two_q: int, state: int = 0):
 
 
 def make_ed_network(
-    system: System, state: int = 0, two_lz: int = 0, max_dim: int = 20000
+    system: System, state: int = 0, two_lz: int = 0, max_dim: int = 2000
 ):
     """Run ED for ``system`` and wrap the eigenstate in the network protocol.
 
@@ -112,11 +112,14 @@ def make_ed_network(
 
     Raises:
         ValueError: If the Lz block exceeds ``max_dim``.  Both halves of this
-            bridge scale with the dimension — the dense ``ed_block`` holds a
-            ``dim^2`` float64 Hamiltonian (~80 GB at the N=10 production
-            block's 246k states) and the wavefunction itself is a sum of
-            ``dim`` determinants per walker — so a large block must fail fast
-            here rather than stall the runner for minutes first.
+            bridge scale with the dimension: the dense ``ed_block`` holds a
+            ``dim^2`` float64 Hamiltonian, and — the binding cost — each
+            forward pass materializes a ``[batch, dim, nelec, nelec]``
+            complex Slater tensor (at the production batch 3360 that is
+            ~1 GB per 1000 basis states for N=6), so an oversized block OOMs
+            or stalls the evaluator rather than merely running slowly.  The
+            default bound sits a little above the largest validated blocks
+            (dim <= 910); raise it deliberately only with a small batch.
     """
     nelec = sum(system.nspins)
     dim = ed.lz_block_dim(abs(system.flux) + 1, nelec, two_lz)
@@ -124,9 +127,12 @@ def make_ed_network(
         raise ValueError(
             f"ED block N={nelec}, 2Q={abs(system.flux)}, 2Lz={two_lz} has "
             f"{dim} states (> max_dim={max_dim}): too large to use as a "
-            "first-quantized wavefunction (the evaluator sums one determinant "
-            "per basis state). Use the Laughlin/CF overlap estimator or the "
-            "native Lanczos backend for energies instead."
+            "first-quantized wavefunction — the evaluator sums one determinant "
+            "per basis state, materializing a [batch, dim, nelec, nelec] "
+            f"complex tensor (~{3360 * dim * nelec * nelec * 8 / 1e9:.1f} GB "
+            "at batch 3360). Use the Laughlin/CF overlap estimator or the "
+            "native Lanczos backend for energies instead, or pass a larger "
+            "max_dim explicitly with a reduced batch."
         )
     result = ed.ed_block(
         nelec,

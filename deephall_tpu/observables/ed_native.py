@@ -28,10 +28,32 @@ import numpy as np
 _SRC = Path(__file__).with_name("_ed_native.cpp")
 
 
+def _host_isa_tag() -> bytes:
+    """Digest of the compiler's -march=native target on THIS host.
+
+    The cache key must change across CPUs: a shared/persistent
+    DEEPHALL_NATIVE_CACHE reused from a different machine would otherwise
+    serve a .so compiled for another ISA and crash with SIGILL.
+    """
+    try:
+        out = subprocess.run(
+            ["g++", "-march=native", "-E", "-v", "-", "-o", os.devnull],
+            input=b"",
+            capture_output=True,
+            timeout=30,
+        )
+        probe = out.stderr + out.stdout
+    except Exception:
+        probe = b""
+    import platform
+
+    return platform.machine().encode() + b"\0" + probe
+
+
 def _build_library() -> Path:
     """Compile the kernel into a content-addressed cache path (once)."""
     src = _SRC.read_bytes()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    tag = hashlib.sha256(src + b"\0" + _host_isa_tag()).hexdigest()[:16]
     cache_dir = Path(
         os.environ.get("DEEPHALL_NATIVE_CACHE", tempfile.gettempdir())
     ) / "deephall_tpu_native"

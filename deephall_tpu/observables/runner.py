@@ -26,7 +26,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from deephall_tpu import parallel
 from deephall_tpu.config import Config
 from deephall_tpu.log import AnyPath, LogManager, init_logging
-from deephall_tpu.mcmc import make_mcmc_step
+from deephall_tpu.mcmc import make_mcmc_step, update_mcmc_width
 from deephall_tpu.networks import make_network
 from deephall_tpu.observables.estimators import ESTIMATORS
 from deephall_tpu.utils import setup_runtime
@@ -84,10 +84,18 @@ def evaluate_observable(
 
     state = est.init(steps)
     key = jax.random.PRNGKey(seed)
+    # Host-side proposal-width adaptation (reference mcmc.py:153-186): the
+    # checkpoint width was adapted for the *training* chain; an estimator run
+    # with a different mcmc_steps or a drifted state re-tunes toward the
+    # [0.5, 0.55] acceptance window. Cadence is compressed to the run length
+    # so short estimation walks still engage it at least a few times.
+    adapt = max(1, min(cfg.mcmc.adapt_frequency, steps // 5))
+    pmoves = np.zeros(adapt)
     for i in range(steps):
         key, k_walk, k_eval = jax.random.split(key, 3)
         data, pmove = mcmc_step(params, data, k_walk, width)
         state = evaluate(params, k_eval, data, state)
+        width, pmoves = update_mcmc_width(i, width, adapt, pmove, pmoves)
         # Sync every step: dispatch is async, and on tunnelled runtimes letting a
         # deep backlog accumulate can wedge the final readback entirely (observed:
         # a 100-step chain whose digest never returned). One sync costs ~27 ms —

@@ -106,9 +106,25 @@ def phase_overrides(
     }
 
 
-def tail_stats(csv_path: Path, rows: int) -> dict[str, float]:
+def tail_stats(
+    csv_path: Path, rows: int, min_step: int | None = None
+) -> dict[str, float]:
+    """Tail statistics of a train_stats.csv, sliced by *step number*.
+
+    ``min_step`` restricts the window to rows of the final phase: StatsWriter
+    appends across phases (and across driver re-launches), so a row-count
+    slice from the CSV end can silently average escape-phase rows (4x Lz
+    kick, no selector) into the dispersion point.  Step-number slicing is
+    robust to both multi-phase runs and resumed runs with duplicated step
+    ranges (the last ``rows`` filtered rows win by recency).
+    """
     with open(csv_path) as f:
         table = list(csv.DictReader(f))
+    if min_step is not None:
+        filtered = [r for r in table if int(float(r["step"])) >= min_step]
+        # A crashed-and-resumed phase can have fewer rows than planned; fall
+        # back to the unfiltered tail rather than produce an empty window.
+        table = filtered or table
     tail = table[-rows:]
 
     def col(name):
@@ -167,6 +183,20 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--tail", type=int, default=500, help="stats tail rows")
     parser.add_argument(
+        "--l2-tol", type=float, default=0.05,
+        help="L^2-purity convergence rail: after the purify stage, the tail "
+        "<L^2> must sit within this distance of the exact multiplet value "
+        "m(m+1), else the stage is extended (measured at N=4: a fixed budget "
+        "left sector 2 at L^2 = 6.30 vs exact 6 — 5%% impurity biasing the "
+        "energy by ~1 mHa). Set <= 0 to disable.",
+    )
+    parser.add_argument(
+        "--max-extend", type=int, default=3,
+        help="maximum purify-stage extensions (each iterations//4) before "
+        "accepting the sector as-is; from the second extension on, the L^2 "
+        "selector strength is raised 1.5x (clamped to the stability window)",
+    )
+    parser.add_argument(
         "--dotlist", nargs="*", default=[],
         help="extra key=value overrides applied to every sector run",
     )
@@ -220,6 +250,15 @@ def main(argv: list[str] | None = None) -> None:
     # purify stage's L^2 descent overshoots back into the ground basin.
     anchor = [args.restore] if args.restore else []
 
+    # Re-launch safety (this runtime is outage-prone): sectors whose row
+    # already landed in dispersion.csv are skipped outright, and a partially
+    # trained sector resumes its own run instead of rewinding to the ground
+    # checkpoint and appending fresh escape-phase rows to its stats.
+    done_rows: set[tuple[str, str]] = set()
+    if dispersion.exists():
+        with open(dispersion) as f:
+            done_rows = {(r["sector"], r["level"]) for r in csv.DictReader(f)}
+
     for m in args.sectors:
         # Keep the selector inside its stability window per sector: tunneling
         # from (L=m, Lz=m) to (L=m-1, Lz=m-1) costs lz_penalty but saves
@@ -227,19 +266,27 @@ def main(argv: list[str] | None = None) -> None:
         # one global k the documented upper edge binds at the OUTERMOST
         # sector, and the default 0.1 would already tunnel at m >= 5.
         l2_penalty = args.l2_penalty
+        k_bound = float("inf")
         if l2_penalty and m > 0:
-            bound = 0.8 * args.lz_penalty / (2.0 * m)
-            if l2_penalty > bound:
+            k_bound = 0.8 * args.lz_penalty / (2.0 * m)
+            if l2_penalty > k_bound:
                 print(
                     f"sector {m}: clamping l2_penalty {l2_penalty} -> "
-                    f"{bound:.4f} (stability window k < lz_penalty/2m)",
+                    f"{k_bound:.4f} (stability window k < lz_penalty/2m)",
                     flush=True,
                 )
-                l2_penalty = bound
+                l2_penalty = k_bound
         previous: list[str] = []
         for level in range(args.chain + 1):
             name = f"sector_{m}" if level == 0 else f"sector_{m}_state{level}"
             run_dir = out_dir / name
+            if (str(m), str(level)) in done_rows:
+                print(f"=== sector Lz={m} state {level}: already in "
+                      f"{dispersion}, skipping", flush=True)
+                ckpts = sorted(run_dir.glob("ckpt_*.npz"))
+                if ckpts:
+                    previous = [*previous, str(ckpts[-1])]
+                continue
             # Warm start: level 0 from the ground run, level k from the state
             # it must become orthogonal to.  The driver keeps the restored step
             # counter, so the iteration target is shifted accordingly.
@@ -249,7 +296,25 @@ def main(argv: list[str] | None = None) -> None:
                 level, l2_penalty, args.lz_penalty, base_step,
                 args.iterations,
             )
+            # A prior launch may have trained part of this sector: resume the
+            # run's own checkpoints (an explicit restore_path would rewind to
+            # the ground and append escape-phase rows) and skip phases whose
+            # iteration target was already reached.
+            existing = sorted(run_dir.glob("ckpt_*.npz"))
+            resume_step = checkpoint_step(str(existing[-1])) if existing else None
+            if resume_step is not None:
+                print(f"    resuming own run at step {resume_step}", flush=True)
             print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
+
+            def run_phase(cfg_overrides: dict):
+                merged = merge_dicts(merge_dicts(dict(base), cfg_overrides),
+                                     dotlist_to_dict(args.dotlist))
+                cfg = Config.from_dict(merged)
+                train(cfg)
+                return cfg
+
+            cfg = None
+            final_phase_start = base_step
             for phase_index, (l2_value, lz_value, iteration_target) in enumerate(
                 phases
             ):
@@ -257,26 +322,72 @@ def main(argv: list[str] | None = None) -> None:
                     base_seed=int(base.get("seed", 1)), m=m, level=level,
                     phase_index=phase_index, l2_value=l2_value,
                     lz_value=lz_value, iteration_target=iteration_target,
-                    run_dir=str(run_dir), restore=restore,
+                    run_dir=str(run_dir),
+                    restore=None if resume_step is not None else restore,
                     orthogonal=anchor + previous,
                     overlap_penalty=args.overlap_penalty,
                 )
+                if phase_index == len(phases) - 1 and len(phases) > 1:
+                    final_phase_start = phases[phase_index - 1][2]
+                if resume_step is not None and iteration_target <= resume_step:
+                    continue  # phase completed before the re-launch
+                cfg = run_phase(overrides)
+            if cfg is None:  # all planned phases predate the resume point
                 merged = merge_dicts(merge_dicts(dict(base), overrides),
                                      dotlist_to_dict(args.dotlist))
                 cfg = Config.from_dict(merged)
-                train(cfg)
+
+            # L^2-purity convergence rail (level-0 selector runs): the purify
+            # stage must actually reach the L = m multiplet — a fixed budget
+            # measured 5% impurity at N=4 sector 2, biasing the energy ~1 mHa.
+            # Extend with the selector on until |<L^2> - m(m+1)| <= tol, up to
+            # --max-extend extensions; from the second extension the selector
+            # is strengthened 1.5x (clamped inside the stability window).
+            cur_target = phases[-1][2]
+            cur_k = l2_penalty
+            stats_csv = run_dir / "train_stats.csv"
+            if level == 0 and l2_penalty and args.l2_tol > 0:
+                target_l2 = m * (m + 1)
+                for extension in range(args.max_extend):
+                    stats = tail_stats(
+                        stats_csv,
+                        min(args.tail, max(1, cur_target - final_phase_start)),
+                        min_step=final_phase_start,
+                    )
+                    impurity = abs(stats["L_square"] - target_l2)
+                    if impurity <= args.l2_tol:
+                        break
+                    if extension >= 1:
+                        cur_k = min(cur_k * 1.5, k_bound)
+                    ext_len = max(1, args.iterations // 4)
+                    final_phase_start = cur_target
+                    cur_target += ext_len
+                    print(
+                        f"    L^2 = {stats['L_square']:.3f} vs exact "
+                        f"{target_l2} (> tol {args.l2_tol}): extending purify "
+                        f"to step {cur_target} (k = {cur_k:.4f})",
+                        flush=True,
+                    )
+                    cfg = run_phase(phase_overrides(
+                        base_seed=int(base.get("seed", 1)), m=m, level=level,
+                        phase_index=len(phases) + extension,
+                        l2_value=cur_k, lz_value=args.lz_penalty,
+                        iteration_target=cur_target, run_dir=str(run_dir),
+                        restore=None, orthogonal=anchor + previous,
+                        overlap_penalty=args.overlap_penalty,
+                    ))
+
             ckpts = sorted(run_dir.glob("ckpt_*.npz"))
             previous = [*previous, str(ckpts[-1])]
-            # StatsWriter appends across phases, so cap the tail at the final
-            # phase's row count — averaging escape-phase rows (4x Lz kick, no
-            # selector) into the dispersion point would corrupt it.
-            final_phase_rows = (
-                args.iterations - args.iterations // 2
-                if len(phases) > 1 else args.iterations
-            )
+            # StatsWriter appends across phases and launches; slice the tail
+            # by step number so escape-phase rows (4x Lz kick, no selector)
+            # are never averaged into the dispersion point.
             row = {"sector": m, "level": level,
-                   **tail_stats(run_dir / "train_stats.csv",
-                                min(args.tail, final_phase_rows))}
+                   **tail_stats(
+                       stats_csv,
+                       min(args.tail, max(1, cur_target - final_phase_start)),
+                       min_step=final_phase_start,
+                   )}
             if level == 0 and l2_penalty:
                 # Exact anchor for the L = m member (small/medium blocks).
                 target = ed_sector_target(cfg, m)

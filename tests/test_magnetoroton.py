@@ -19,21 +19,26 @@ import magnetoroton  # noqa: E402
 from deephall_tpu.config import Config, to_dict  # noqa: E402
 
 
-def _fake_stats(path: Path, energy: float):
+def _fake_stats(
+    path: Path, energy: float, last_step: int = 10, l_square: float = 12.0
+):
+    """Append rows ending at ``last_step`` (StatsWriter appends across phases)."""
     rows = [
         {
             "step": i,
             "energy": energy,
             "variance": 0.01,
-            "L_square": 12.0,
+            "L_square": l_square,
             "Lz": 2.0,
             "overlap": 0.01,
         }
-        for i in range(10)
+        for i in range(max(0, last_step - 10), last_step)
     ]
-    with open(path, "w", newline="") as f:
+    exists = path.exists()
+    with open(path, "a", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(rows[0]))
-        writer.writeheader()
+        if not exists:
+            writer.writeheader()
         writer.writerows(rows)
 
 
@@ -50,7 +55,8 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
         seen.append(cfg)
         run_dir = Path(cfg.log.save_path)
         run_dir.mkdir(parents=True, exist_ok=True)
-        _fake_stats(run_dir / "train_stats.csv", energy=7.0 + 0.1 * len(seen))
+        _fake_stats(run_dir / "train_stats.csv", energy=7.0 + 0.1 * len(seen),
+                    last_step=cfg.optim.iterations)
         np.savez(run_dir / "ckpt_000099.npz", step=99)
 
     # The package re-exports the train *function* as deephall_tpu.train, so the
@@ -74,6 +80,7 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
             "--restore", str(ground),
             "--l2-penalty", "0.4",
             "--tail", "5",
+            "--l2-tol", "0",  # purity rail covered by test_l2_purity_rail
             "--dotlist", "batch_size=512",
         ]
     )
@@ -132,3 +139,111 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert rows[0]["ed_l2"] != "" and abs(float(rows[0]["ed_l2"]) - 6.0) < 1e-6
     assert abs(float(rows[0]["ed_energy"]) - (6.87163 + 0.1317)) < 2e-4
     assert rows[1]["ed_energy"] == ""  # chained levels have no selector anchor
+
+
+def test_l2_purity_rail(tmp_path, monkeypatch):
+    """Impure purify tails extend the selector stage until |L^2 - m(m+1)| <= tol."""
+    base_cfg = Config()
+    base_cfg.system.flux = 15
+    base_cfg.system.nspins = (6, 0)
+    config_yml = tmp_path / "config.yml"
+    config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
+
+    # Per-call tail L^2: escape (ignored), impure purify, converged extension.
+    l_squares = [12.0, 6.4, 6.02]
+    seen: list[Config] = []
+
+    def fake_train(cfg: Config):
+        seen.append(cfg)
+        run_dir = Path(cfg.log.save_path)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        _fake_stats(run_dir / "train_stats.csv", energy=7.0,
+                    last_step=cfg.optim.iterations,
+                    l_square=l_squares[len(seen) - 1])
+        np.savez(run_dir / f"ckpt_{cfg.optim.iterations - 1:06d}.npz",
+                 step=cfg.optim.iterations - 1)
+
+    import importlib
+
+    train_module = importlib.import_module("deephall_tpu.train")
+    monkeypatch.setattr(train_module, "train", fake_train)
+
+    ground = tmp_path / "ground_ckpt_000049.npz"
+    np.savez(ground, step=49)
+    out = tmp_path / "roton"
+    magnetoroton.main([
+        "--config", str(config_yml), "--out", str(out),
+        "--sectors", "2", "--iterations", "100",
+        "--restore", str(ground), "--tail", "5",
+    ])
+
+    # escape + purify + exactly one extension (the second tail converged).
+    assert len(seen) == 3
+    escape, purify, extension = seen
+    assert purify.optim.iterations == 50 + 100
+    assert extension.optim.iterations == 150 + 25  # iterations // 4 extension
+    assert extension.system.l2_penalty == purify.system.l2_penalty  # first ext
+    assert extension.system.lz_penalty == 1.0  # nominal, not the escape kick
+    assert extension.log.restore_path is None  # resumes its own run
+    with open(out / "dispersion.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1
+    # The dispersion point comes from the extension's tail, not the impure one.
+    assert abs(float(rows[0]["L_square"]) - 6.02) < 1e-9
+
+
+def test_relaunch_resumes_own_run_and_skips_done(tmp_path, monkeypatch):
+    """Re-launching over an existing --out must not rewind to the ground ckpt."""
+    base_cfg = Config()
+    base_cfg.system.flux = 15
+    base_cfg.system.nspins = (6, 0)
+    config_yml = tmp_path / "config.yml"
+    config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
+
+    seen: list[Config] = []
+
+    def fake_train(cfg: Config):
+        seen.append(cfg)
+        run_dir = Path(cfg.log.save_path)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        _fake_stats(run_dir / "train_stats.csv", energy=7.0,
+                    last_step=cfg.optim.iterations, l_square=6.0)
+        np.savez(run_dir / f"ckpt_{cfg.optim.iterations - 1:06d}.npz",
+                 step=cfg.optim.iterations - 1)
+
+    import importlib
+
+    train_module = importlib.import_module("deephall_tpu.train")
+    monkeypatch.setattr(train_module, "train", fake_train)
+
+    ground = tmp_path / "ground_ckpt_000049.npz"
+    np.savez(ground, step=49)
+    out = tmp_path / "roton"
+
+    # A previous launch died mid-purify: escape done (target 100), step 120.
+    run_dir = out / "sector_2"
+    run_dir.mkdir(parents=True)
+    np.savez(run_dir / "ckpt_000120.npz", step=120)
+    _fake_stats(run_dir / "train_stats.csv", energy=7.0, last_step=121,
+                l_square=6.0)
+
+    magnetoroton.main([
+        "--config", str(config_yml), "--out", str(out),
+        "--sectors", "2", "--iterations", "100",
+        "--restore", str(ground), "--tail", "5", "--l2-tol", "0",
+    ])
+    # Only the unfinished purify phase runs, resuming the run's own ckpts.
+    assert len(seen) == 1
+    assert seen[0].log.restore_path is None
+    assert seen[0].optim.iterations == 150
+    assert seen[0].system.l2_penalty == 0.1
+
+    # Second re-launch: the sector row is already in dispersion.csv -> no-op.
+    magnetoroton.main([
+        "--config", str(config_yml), "--out", str(out),
+        "--sectors", "2", "--iterations", "100",
+        "--restore", str(ground), "--tail", "5", "--l2-tol", "0",
+    ])
+    assert len(seen) == 1
+    with open(out / "dispersion.csv") as f:
+        assert len(list(csv.DictReader(f))) == 1

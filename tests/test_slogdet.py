@@ -83,33 +83,3 @@ def test_signed_logsumdet_multi():
     expected = jnp.log(jnp.sum(dets))
     got = sd.signed_logsumdet(a)
     assert jnp.allclose(got, expected, atol=1e-4)
-
-
-def test_fused_attention_interpret_matches_reference():
-    """Experimental Pallas attention kernel: correctness in interpreter mode."""
-    import jax.numpy as jnp
-    from unittest import mock
-    from jax.experimental import pallas as pl
-
-    from deephall_tpu.ops import attention
-
-    B, T, H, D = 16, 6, 4, 64
-    q = jax.random.normal(jax.random.PRNGKey(0), (B, T, H, D))
-    k = jax.random.normal(jax.random.PRNGKey(1), (B, T, H, D))
-    v = jax.random.normal(jax.random.PRNGKey(2), (B, T, H, D))
-    logits = (q[:, :, None] * k[:, None]).sum(-1)
-    w = jax.nn.softmax(logits, axis=2)
-    expected = (w[..., None] * v[:, None]).sum(2)
-
-    with mock.patch.object(
-        attention.pl, "pallas_call", functools_partial_interpret()
-    ):
-        out = attention.fused_attention(q, k, v)
-    assert jnp.allclose(out, expected, atol=1e-4)
-
-
-def functools_partial_interpret():
-    import functools
-    from jax.experimental import pallas as pl
-
-    return functools.partial(pl.pallas_call, interpret=True)
