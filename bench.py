@@ -50,7 +50,7 @@ def build_production_block(compute_l2: bool, block_size: int = BLOCK):
     from deephall_tpu.config import Config
     from deephall_tpu.mcmc import make_mcmc_step
     from deephall_tpu.networks import make_network
-    from deephall_tpu.train import init_guess, make_iteration_block
+    from deephall_tpu.train import init_guess, make_iteration_block, make_sweep_network
     from deephall_tpu.types import CheckpointState
 
     cfg = Config()
@@ -77,13 +77,10 @@ def build_production_block(compute_l2: bool, block_size: int = BLOCK):
     )
     width = jax.device_put(jnp.asarray(cfg.mcmc.width), rep_sharding)
 
-    # Same sweep-network selection as the training driver (train.py): the
-    # "batched" override routes the sweep through the natively-batched apply so
-    # the batch-minor attention lowering can trigger inside the sweep.
-    if os.environ.get("DEEPHALL_MCMC_NETWORK", "vmap") == "batched":
-        mcmc_network = model.apply
-    else:
-        mcmc_network = jax.vmap(model.apply, in_axes=(None, 0))
+    # Same sweep-network construction as the training driver (train.py
+    # make_sweep_network): honors DEEPHALL_MCMC_NETWORK (vmap/batched layout)
+    # and DEEPHALL_MCMC_DTYPE (reduced-precision bf16 tower).
+    mcmc_network = make_sweep_network(model.apply)
     mcmc_step_fn = make_mcmc_step(mcmc_network, steps=cfg.mcmc.steps)
     opt_init, training_step = optimizers.make_optimizer_step(cfg, model, sample)
     opt_state = jax.jit(opt_init)(params, jax.random.PRNGKey(2), data)

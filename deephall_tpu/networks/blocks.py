@@ -18,6 +18,7 @@ implementations (not re-exports of Flax's), written so that
 
 from __future__ import annotations
 
+import contextlib
 import math
 import os
 from collections.abc import Sequence
@@ -68,6 +69,33 @@ ATTENTION_IMPL = os.environ.get("DEEPHALL_ATTENTION_IMPL", "vpu")
 # elementwise access (6/8 at N=6).  Mirrors DEEPHALL_JET_TOWER_IMPL=tb on the
 # jet side; parameter tree unchanged.
 FWD_TOWER_IMPL = os.environ.get("DEEPHALL_FWD_TOWER_IMPL", "std")
+
+# Ambient compute dtype for the attention feature tower, read at TRACE time
+# (set it inside the traced function body, e.g. around the MCMC sweep's network
+# calls).  None = float32.  The parameter tree always stays float32 (checkpoint
+# contract); Dense/DenseGeneral/LayerNorm cast their parameters to the
+# activation dtype on the fly, and LayerNorm keeps its statistics in float32.
+# Consumer: the reduced-precision MCMC sampler (DEEPHALL_MCMC_DTYPE=bf16) —
+# the sweep's forwards do not feed the local energy (CLAUDE.md precision
+# invariant), only the *positions* they sample do, and a deterministic
+# reduced-precision log|psi~| still satisfies detailed balance exactly for
+# |psi~|^2.  Physics boundary validated against the exact Laughlin inference
+# anchor (BASELINE.md).
+_TOWER_DTYPE: list = [None]
+
+
+@contextlib.contextmanager
+def tower_dtype(dtype):
+    """Trace-time context: run the feature tower in ``dtype`` (e.g. bfloat16)."""
+    _TOWER_DTYPE.append(dtype)
+    try:
+        yield
+    finally:
+        _TOWER_DTYPE.pop()
+
+
+def ambient_tower_dtype():
+    return _TOWER_DTYPE[-1]
 
 
 def _sow_input(mdl: nn.Module, x2d: jnp.ndarray) -> None:
@@ -122,12 +150,15 @@ class DenseGeneral(nn.Module):
         x2d = jnp.transpose(x, batch_axes + axes).reshape(-1, fan_in)
         _sow_input(self, x2d)
         kernel2d = kernel.reshape(fan_in, fan_out)
-        if jnp.iscomplexobj(x):
+        if x.dtype != jnp.float32:
+            # Complex activations (orbital head) and reduced-precision tower
+            # activations (tower_dtype) both compute in the activation dtype;
+            # the stored parameter stays float32 (checkpoint contract).
             kernel2d = kernel2d.astype(x.dtype)
         y2d = x2d @ kernel2d
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(), features, jnp.float32)
-            y2d = y2d + bias.reshape(1, fan_out)
+            y2d = y2d + bias.reshape(1, fan_out).astype(y2d.dtype)
         y2d = _tap_output(self, y2d)
         return y2d.reshape(*batch_shape, *features)
 
@@ -145,12 +176,14 @@ class Dense(nn.Module):
         )
         x2d = x.reshape(-1, x.shape[-1])
         _sow_input(self, x2d)
+        if x.dtype != jnp.float32:
+            kernel = kernel.astype(x.dtype)  # reduced-precision tower
         y2d = x2d @ kernel
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros_init(), (self.features,), jnp.float32
             )
-            y2d = y2d + bias
+            y2d = y2d + bias.astype(y2d.dtype)
         y2d = _tap_output(self, y2d)
         return y2d.reshape(*x.shape[:-1], self.features)
 
@@ -162,14 +195,21 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        x_hat = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        # Statistics in float32 even for a reduced-precision tower: XLA fuses
+        # the up/downcasts into the surrounding elementwise chain, so memory
+        # traffic stays in the activation dtype while the mean/variance
+        # accumulation keeps full precision.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        x_hat = ((xf - mean) * jax.lax.rsqrt(var + self.epsilon)).astype(x.dtype)
         feat = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (feat,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(), (feat,), jnp.float32)
         _sow_input(self, x_hat.reshape(-1, feat))
-        y2d = (x_hat * scale + bias).reshape(-1, feat)
+        y2d = (
+            x_hat * scale.astype(x.dtype) + bias.astype(x.dtype)
+        ).reshape(-1, feat)
         y2d = _tap_output(self, y2d)
         return y2d.reshape(x.shape)
 

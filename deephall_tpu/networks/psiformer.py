@@ -39,6 +39,14 @@ class PsiformerLayers(nn.Module):
     def __call__(self, electrons: jnp.ndarray, spins: jnp.ndarray):
         theta, phi = electrons[..., 0], electrons[..., 1]
         h_one = self.input_feature(theta, phi, spins)
+        # Reduced-precision tower (trace-time ambient, see blocks.tower_dtype):
+        # activations and on-the-fly-cast parameters run in e.g. bfloat16
+        # through the attention stack, halving the HBM traffic of the
+        # bandwidth-bound tower.  The orbital head below always receives
+        # float32 features; parameters stay float32 in the tree.
+        dt = blocks.ambient_tower_dtype()
+        if dt is not None:
+            h_one = h_one.astype(dt)
         # Token-major layout (env-gated): every dense/layernorm/residual op in
         # the tower is axis(-1) generic, so moving the electron-token axis off
         # the tiled sublane position is two cheap transposes at the ends.
@@ -57,6 +65,8 @@ class PsiformerLayers(nn.Module):
             h_one = LayerNorm(epsilon=1e-5)(h_one)
         if tb:
             h_one = jnp.moveaxis(h_one, 0, -2)  # back to [*B, T, D]
+        if dt is not None:
+            h_one = h_one.astype(jnp.float32)
         return h_one
 
     def input_feature(self, theta: jnp.ndarray, phi: jnp.ndarray, spins: jnp.ndarray):

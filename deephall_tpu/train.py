@@ -43,7 +43,7 @@ from deephall_tpu.config import (
 )
 from deephall_tpu.log import CheckpointState, LogManager, init_logging
 from deephall_tpu.loss import LossMode, make_loss_fn
-from deephall_tpu.networks import make_network
+from deephall_tpu.networks import blocks, make_network
 from deephall_tpu.utils import pack_complex, setup_runtime, unpack_complex
 
 logger = logging.getLogger("deephall")
@@ -209,6 +209,42 @@ def make_iteration_block(cfg: Config, mcmc_step_fn, training_step):
     return block
 
 
+def make_sweep_network(batched_apply):
+    """The MCMC sweep's network, honoring the sampler knobs.
+
+    ``DEEPHALL_MCMC_NETWORK``: "vmap" (default) wraps the per-config network —
+    inside the fused iteration block XLA schedules it measurably better than
+    the batched apply (the loss/KFAC paths stay natively batched, where
+    batching wins). "batched" feeds the batched apply to the sweep instead —
+    with ``DEEPHALL_ATTENTION_IMPL=bm/auto`` that routes the sweep's 10
+    forwards through the lane-filling batch-minor attention, which the vmapped
+    per-config network can never trigger (it traces at ndim=2).
+
+    ``DEEPHALL_MCMC_DTYPE=bf16``: reduced-precision sampler — the sweep's
+    forwards run their feature tower in bfloat16.  They do NOT feed the local
+    energy (the precision invariant boundary, CLAUDE.md; only the sampled
+    *positions* do), and a deterministic reduced-precision ``log|psi~|`` keeps
+    Metropolis detailed balance exact for ``|psi~|^2``.  The context manager
+    is entered inside the traced function so the reduced tower applies exactly
+    where this wrapper is traced and nowhere else (loss/KFAC stay f32).
+
+    Shared by the training driver and ``bench.py`` so the benchmark always
+    constructs the identical sweep program.
+    """
+    if os.environ.get("DEEPHALL_MCMC_NETWORK", "vmap") == "batched":
+        net = batched_apply
+    else:
+        net = jax.vmap(batched_apply, in_axes=(None, 0))
+    if os.environ.get("DEEPHALL_MCMC_DTYPE", "f32") in ("bf16", "bfloat16"):
+        _full_precision_network = net
+
+        def net(params, x):
+            with blocks.tower_dtype(jnp.bfloat16):
+                return _full_precision_network(params, x)
+
+    return net
+
+
 def train(cfg: Config) -> None:
     """Run the full VMC training loop for the given configuration."""
     setup_runtime()
@@ -231,17 +267,9 @@ def train(cfg: Config) -> None:
     nelec = sum(cfg.system.nspins)
     model = make_network(cfg.system, cfg.network)
     network = model.apply  # natively batched: accepts [batch, nelec, 2] directly
-    # The MCMC sweep uses the vmapped per-config network: inside the fused
-    # iteration block XLA schedules it measurably better than the batched apply
-    # (the loss/KFAC paths stay natively batched, where batching wins).  The
-    # "batched" override feeds the batched apply to the sweep instead — with
-    # DEEPHALL_ATTENTION_IMPL=bm/auto that routes the sweep's 10 forwards
-    # through the lane-filling batch-minor attention, which the vmapped
-    # per-config network can never trigger (it traces at ndim=2).
-    if os.environ.get("DEEPHALL_MCMC_NETWORK", "vmap") == "batched":
-        mcmc_network = network
-    else:
-        mcmc_network = jax.vmap(network, in_axes=(None, 0))
+    # The MCMC sweep network honors the sampler knobs (vmap/batched layout and
+    # the reduced-precision bf16 tower) — see make_sweep_network.
+    mcmc_network = make_sweep_network(network)
 
     sample_config = jnp.zeros((nelec, 2))
     mcmc_step_fn = mcmc.make_mcmc_step(mcmc_network, steps=cfg.mcmc.steps)

@@ -9,7 +9,6 @@ per-call host readback costs ~27 ms and poisons naive timings.
 from __future__ import annotations
 
 import argparse
-import os
 import sys
 import time
 from pathlib import Path
@@ -66,11 +65,11 @@ def main():
     data = init_guess(jax.random.PRNGKey(1), cfg.batch_size, args.nelec)
     key = jax.random.PRNGKey(2)
 
-    # Same sweep-network selection as the training driver / bench.py.
-    if os.environ.get("DEEPHALL_MCMC_NETWORK", "vmap") == "batched":
-        batch_network = model.apply
-    else:
-        batch_network = jax.vmap(model.apply, in_axes=(None, 0))
+    # Same sweep-network construction as the training driver / bench.py
+    # (honors DEEPHALL_MCMC_NETWORK and DEEPHALL_MCMC_DTYPE).
+    from deephall_tpu.train import make_sweep_network
+
+    batch_network = make_sweep_network(model.apply)
 
     fwd = jax.jit(lambda d: d + 1e-9 * batch_network(params, d).real.sum())
     print(f"forward (batch {args.batch}):        {chain_time(fwd, data):9.2f} ms")
