@@ -1,0 +1,101 @@
+"""Magnetoroton dispersion report: VMC sector rows against the exact spectrum.
+
+Merges a ``dispersion.csv`` produced by ``scripts/magnetoroton.py`` with the
+exact ED excitation spectrum of the same system (``observables/ed.py``) and a
+converged ground-state energy, and prints the per-sector table used by
+BASELINE.md: gap_VMC = E_m - E0_VMC vs gap_ED = E_m^ED - E0^ED, the sector's
+L^2 purity, and the VMC-ED energy deviation in units of the VMC error bar.
+
+The two gaps are the physical comparison (the smooth LL-mixing shift largely
+cancels in the difference); the absolute VMC < ED ordering per row is the
+variational LL-mixing signature every converged family shows (BASELINE.md).
+
+Usage:
+    python scripts/dispersion_report.py runs/roton_n4e/dispersion.csv \
+        --ground-energy 3.87080 --ground-err 0.00013
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+
+
+def report(rows: list[dict], e0_vmc: float, e0_err: float) -> list[dict]:
+    """Build the merged dispersion table (pure function; tested on CPU)."""
+    out = []
+    ed_ground: float | None = None
+    for r in rows:
+        if r.get("level") not in ("", None) and int(r["level"]) != 0:
+            continue  # chained higher bands have no selector/ED anchor
+        entry = {
+            "L": int(r["sector"]),
+            "energy": float(r["energy"]),
+            "energy_err": float(r["energy_err"]),
+            "L_square": float(r["L_square"]),
+            "gap_vmc": float(r["energy"]) - e0_vmc,
+        }
+        exact_l2 = entry["L"] * (entry["L"] + 1)
+        entry["purity"] = abs(entry["L_square"] - exact_l2)
+        if r.get("ed_energy"):
+            entry["ed_energy"] = float(r["ed_energy"])
+            entry["dev_sigma"] = (entry["energy"] - entry["ed_energy"]) / max(
+                entry["energy_err"], 1e-12
+            )
+        out.append(entry)
+    return sorted(out, key=lambda e: e["L"])
+
+
+def attach_ed_gaps(entries: list[dict], nelec: int, flux: int) -> float | None:
+    """Diagonalize the Lz=0 block for E0 and attach gap_ed per row."""
+    from deephall_tpu.observables import ed
+
+    result = ed.ed_block(nelec, flux, two_lz=0, num_states=2)
+    e0_ed = nelec / 2.0 + float(result.energies[0])
+    for e in entries:
+        if "ed_energy" in e:
+            e["gap_ed"] = e["ed_energy"] - e0_ed
+    return e0_ed
+
+
+def main(argv: list[str] | None = None) -> None:
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("dispersion", help="dispersion.csv from magnetoroton.py")
+    parser.add_argument("--ground-energy", type=float, required=True,
+                        help="converged VMC ground-state energy E0 (tail mean)")
+    parser.add_argument("--ground-err", type=float, default=0.0)
+    parser.add_argument("--nelec", type=int, default=None,
+                        help="with --flux: also print exact ED gaps")
+    parser.add_argument("--flux", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    with open(args.dispersion) as f:
+        rows = list(csv.DictReader(f))
+    entries = report(rows, args.ground_energy, args.ground_err)
+    e0_ed = None
+    if args.nelec is not None and args.flux is not None:
+        e0_ed = attach_ed_gaps(entries, args.nelec, args.flux)
+
+    print(f"E0_VMC = {args.ground_energy:.5f} +- {args.ground_err:.5f}"
+          + (f"   E0_ED = {e0_ed:.5f}" if e0_ed is not None else ""))
+    hdr = f"{'L':>2} {'E_VMC':>10} {'err':>8} {'gap_VMC':>8}"
+    hdr += f" {'gap_ED':>8} {'E_ED':>10} {'dev/sig':>8} {'|L2-L(L+1)|':>12}"
+    print(hdr)
+    for e in entries:
+        print(
+            f"{e['L']:>2} {e['energy']:>10.5f} {e['energy_err']:>8.5f} "
+            f"{e['gap_vmc']:>8.5f} "
+            f"{e.get('gap_ed', float('nan')):>8.5f} "
+            f"{e.get('ed_energy', float('nan')):>10.5f} "
+            f"{e.get('dev_sigma', float('nan')):>8.1f} "
+            f"{e['purity']:>12.3f}"
+        )
+
+
+if __name__ == "__main__":
+    main()

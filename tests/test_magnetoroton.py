@@ -247,3 +247,24 @@ def test_relaunch_resumes_own_run_and_skips_done(tmp_path, monkeypatch):
     assert len(seen) == 1
     with open(out / "dispersion.csv") as f:
         assert len(list(csv.DictReader(f))) == 1
+
+
+def test_dispersion_report_merge():
+    """dispersion_report.report: gaps, purity, ED deviation, chained rows skipped."""
+    import dispersion_report
+
+    rows = [
+        {"sector": "3", "level": "0", "energy": "3.9582", "energy_err": "0.0003",
+         "L_square": "12.15", "ed_energy": "3.96467"},
+        {"sector": "3", "level": "1", "energy": "4.1", "energy_err": "0.001",
+         "L_square": "12.0", "ed_energy": ""},  # chained: skipped
+        {"sector": "2", "level": "0", "energy": "4.0069", "energy_err": "0.0003",
+         "L_square": "6.30", "ed_energy": "4.00300"},
+    ]
+    entries = dispersion_report.report(rows, e0_vmc=3.8708, e0_err=0.0001)
+    assert [e["L"] for e in entries] == [2, 3]
+    l2, l3 = entries
+    assert abs(l3["gap_vmc"] - (3.9582 - 3.8708)) < 1e-12
+    assert abs(l3["purity"] - 0.15) < 1e-9
+    assert l3["dev_sigma"] < 0  # VMC below the exact LLL energy (LL mixing)
+    assert l2["dev_sigma"] > 0  # impure sector sits above its ED target
