@@ -94,3 +94,35 @@ def test_data_stays_sharded():
     mcmc_step = jax.jit(make_mcmc_step(batch_network, steps=2))
     new_data, _ = mcmc_step(params, data, jax.random.PRNGKey(2), jnp.asarray(0.1))
     assert new_data.sharding.is_equivalent_to(data_sharding, new_data.ndim)
+
+
+def test_bf16_sweep_device_count_invariant(monkeypatch):
+    """The reduced-precision sampler composes with the mesh: 1 vs 8 devices
+    produce identical walkers (partitionable threefry + dtype casts shard)."""
+    from deephall_tpu.train import make_sweep_network
+
+    monkeypatch.setenv("DEEPHALL_MCMC_DTYPE", "bf16")
+    cfg = _tiny_cfg()
+    nelec = sum(cfg.system.nspins)
+    model = make_network(cfg.system, cfg.network)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((nelec, 2)))
+
+    results = {}
+    for n_devices in (1, 8):
+        mesh = parallel.get_mesh(jax.devices()[:n_devices])
+        data_sharding = NamedSharding(mesh, P(parallel.DATA_AXIS))
+        rep_sharding = NamedSharding(mesh, P())
+        params_d = jax.device_put(params, rep_sharding)
+        data = jax.device_put(
+            init_guess(jax.random.PRNGKey(1), cfg.batch_size, nelec), data_sharding
+        )
+        width = jax.device_put(jnp.asarray(cfg.mcmc.width), rep_sharding)
+        mcmc_step = jax.jit(
+            make_mcmc_step(make_sweep_network(model.apply), steps=cfg.mcmc.steps)
+        )
+        new_data, pmove = mcmc_step(params_d, data, jax.random.PRNGKey(2), width)
+        assert new_data.sharding.is_equivalent_to(data_sharding, new_data.ndim)
+        results[n_devices] = (jax.device_get(new_data), float(pmove))
+
+    assert jnp.array_equal(results[1][0], results[8][0])
+    assert abs(results[1][1] - results[8][1]) < 1e-6
