@@ -246,6 +246,21 @@ class System:
     (``hamiltonian.py:139-159``), which is the default here too.
     """
 
+    dynamic_penalties: bool = False
+    """Pass the penalty scalars into the compiled step as runtime operands.
+
+    TPU extension (no reference counterpart): with the default ``False`` the
+    penalty values (``lz_center``, ``lz_penalty``, ``l2_penalty``,
+    ``overlap_penalty``) are baked into the jitted training step as program
+    constants — every new value is a fresh XLA compile (5-20 min on remote
+    compile services).  ``True`` threads them through the fused iteration
+    block as traced scalars instead, so sweeps over penalty values (e.g. the
+    per-Lz-sector magnetoroton runs, ``scripts/magnetoroton.py``) share ONE
+    compiled executable.  The penalty *terms* are then present in the graph
+    unconditionally (a zero value multiplies them away at runtime); the
+    ``l2_penalty`` term requires ``compute_l2=True`` in this mode.
+    """
+
 
 class NetworkType(StrEnum):
     psiformer = "psiformer"

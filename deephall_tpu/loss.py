@@ -98,6 +98,7 @@ def stats_and_clipped_diff(
     el: jnp.ndarray,
     other_observables: dict,
     log_ratios: jnp.ndarray | None = None,
+    penalties: dict | None = None,
 ) -> tuple[LossStats, jnp.ndarray]:
     """Per-step statistics and the clipped per-walker energy differences.
 
@@ -108,30 +109,41 @@ def stats_and_clipped_diff(
     ``log(phi_j/psi)`` against fixed lower states) additionally folds in the
     excited-state overlap penalty and adds a real ``overlap`` statistic — see
     :func:`orthogonality_stats_and_diff`.
+
+    ``penalties`` (``system.dynamic_penalties``): a non-empty dict of traced
+    scalars ``{lz_penalty, lz_center, l2_penalty, overlap_penalty}`` replaces
+    the static config values so penalty sweeps share one compiled step; the
+    penalty terms are then assembled unconditionally (a zero scalar multiplies
+    them away at runtime, which is exact: each term is ``penalty * (...)``).
     """
     mean_observables = jax.tree.map(jnp.mean, other_observables)
     loss = jnp.nanmean(el)
     clipped_loss = jnp.nanmean(iqr_clip(el))
     diff_to_clip = el - clipped_loss
+    dynamic = bool(penalties)
     if log_ratios is not None:
         overlap, ortho_diff = orthogonality_stats_and_diff(
-            log_ratios, system.overlap_penalty
+            log_ratios,
+            penalties["overlap_penalty"] if dynamic else system.overlap_penalty,
         )
         mean_observables["overlap"] = overlap
         diff_to_clip += ortho_diff
-    if system.lz_penalty:
+    if dynamic or system.lz_penalty:
+        lz_penalty = penalties["lz_penalty"] if dynamic else system.lz_penalty
+        lz_center = penalties["lz_center"] if dynamic else system.lz_center
         lz_square = other_observables["angular_momentum_z_square"]
         lz = other_observables["angular_momentum_z"]
         clipped_lz_square = jnp.nanmean(iqr_clip_real(lz_square))
         clipped_lz = jnp.nanmean(iqr_clip_real(lz))
-        diff_to_clip += system.lz_penalty * (
+        diff_to_clip += lz_penalty * (
             (lz_square - clipped_lz_square)
-            - 2 * system.lz_center * (lz - clipped_lz)
+            - 2 * lz_center * (lz - clipped_lz)
         )
-    if system.l2_penalty:
+    if (dynamic and system.compute_l2) or system.l2_penalty:
+        l2_penalty = penalties["l2_penalty"] if dynamic else system.l2_penalty
         l2 = other_observables["angular_momentum_square"]
         clipped_l2 = jnp.nanmean(iqr_clip_real(l2))
-        diff_to_clip += system.l2_penalty * (l2 - clipped_l2)
+        diff_to_clip += l2_penalty * (l2 - clipped_l2)
     diff = iqr_clip(diff_to_clip)
 
     variance = jnp.nanmean(el.real**2) - loss.real**2
@@ -188,7 +200,9 @@ def make_loss_fn(
     else:
         batch_local_energy = jax.vmap(local_energy(network, system), in_axes=(None, 0))
 
-    def loss_and_grad(params: ArrayTree, data: jnp.ndarray):
+    def loss_and_grad(
+        params: ArrayTree, data: jnp.ndarray, penalties: dict | None = None
+    ):
         el, other_observables = batch_local_energy(params, data)
         if mode == LossMode.ENERGY_DIFF:
             log_ratios = (
@@ -197,7 +211,7 @@ def make_loss_fn(
                 else None
             )
             stats, diff = stats_and_clipped_diff(
-                system, el, other_observables, log_ratios
+                system, el, other_observables, log_ratios, penalties
             )
             return stats, diff
 
@@ -211,7 +225,9 @@ def make_loss_fn(
             if fixed_states
             else None
         )
-        stats, diff = stats_and_clipped_diff(system, el, other_observables, log_ratios)
+        stats, diff = stats_and_clipped_diff(
+            system, el, other_observables, log_ratios, penalties
+        )
         w = vjp_weights(diff)
         # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
         (g_re,) = pullback((w.real, w.imag))
@@ -256,7 +272,9 @@ def make_loss_and_capture_fn(
 
     batch_local_energy = forward_laplacian_local_energy(model, system)
 
-    def loss_grad_capture(params: ArrayTree, data: jnp.ndarray):
+    def loss_grad_capture(
+        params: ArrayTree, data: jnp.ndarray, penalties: dict | None = None
+    ):
         el, other_observables = batch_local_energy(params, data)
 
         taps0 = zero_taps(model, params, data)
@@ -273,7 +291,9 @@ def make_loss_and_capture_fn(
             if fixed_states
             else None
         )
-        stats, diff = stats_and_clipped_diff(system, el, other_observables, log_ratios)
+        stats, diff = stats_and_clipped_diff(
+            system, el, other_observables, log_ratios, penalties
+        )
         w = vjp_weights(diff)
         # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
         grads, _ = pullback((w.real, w.imag))

@@ -21,10 +21,14 @@ def make_adam_training_step(
         del key, data
         return tx.init(params)
 
-    def step(state: CheckpointState, key: PRNGKey):
+    def step(state: CheckpointState, key: PRNGKey, penalties: dict | None = None):
         del key
         params, data, opt_state, mcmc_width = state
-        stats, grads = loss_grad_fn(params, data)
+        stats, grads = (
+            loss_grad_fn(params, data, penalties)
+            if penalties
+            else loss_grad_fn(params, data)
+        )
         updates, opt_state = tx.update(grads, opt_state)
         params = optax.apply_updates(params, updates)
         return CheckpointState(params, data, opt_state, mcmc_width), stats

@@ -279,15 +279,18 @@ def make_kfac_training_step(
             kron=kron, diag=diag, weight=jnp.zeros(()), step=jnp.zeros((), jnp.int32)
         )
 
-    def step(state: CheckpointState, key: PRNGKey):
+    def step(state: CheckpointState, key: PRNGKey, penalties: dict | None = None):
         params, data, opt_state, mcmc_width = state
         specs, tap_shapes, _ = _discover(params)
 
+        # Forward the dynamic-penalty operands only when present so plain
+        # ``(params, data)`` estimators (tests, external callers) keep working.
+        loss_args = (params, data, penalties) if penalties else (params, data)
         if capture_fn is not None:
-            stats, grads, sown, dy = capture_fn(params, data)
+            stats, grads, sown, dy = capture_fn(*loss_args)
             sown, dy = _module_paths(sown), _module_paths(dy)
         else:
-            stats, grads = loss_grad_fn(params, data)
+            stats, grads = loss_grad_fn(*loss_args)
             sown, dy = _capture(params, data)
         kron_new, diag_new = _factor_update(specs, sown, dy)
 

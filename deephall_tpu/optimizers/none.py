@@ -15,10 +15,14 @@ def make_inference_step(loss_diff_fn) -> tuple[TrainingInit, TrainingStep]:
         del params, key, data
         return None
 
-    def step(state: CheckpointState, key: PRNGKey):
+    def step(state: CheckpointState, key: PRNGKey, penalties: dict | None = None):
         del key
         params, data, opt_state, mcmc_width = state
-        stats, _ = loss_diff_fn(params, data)
+        stats, _ = (
+            loss_diff_fn(params, data, penalties)
+            if penalties
+            else loss_diff_fn(params, data)
+        )
         return CheckpointState(params, data, opt_state, mcmc_width), stats
 
     return init, step

@@ -100,7 +100,7 @@ _TRANSIENT_BACKOFF_S = 120.0
 
 
 def _run_block_resilient(iteration_block, state, key, pmoves, t, length, *,
-                         log_manager, adapt, step):
+                         log_manager, adapt, step, penalties=None):
     """Run one fused block, riding out transient tunnel/compile-service outages.
 
     On this runtime the remote compile service restarts independently of the
@@ -124,7 +124,7 @@ def _run_block_resilient(iteration_block, state, key, pmoves, t, length, *,
     saved = False
     for attempt in range(_TRANSIENT_RETRIES + 1):
         try:
-            return iteration_block(state, key, pmoves, t, length)
+            return iteration_block(state, key, pmoves, t, length, penalties)
         except jax.errors.JaxRuntimeError as e:  # noqa: PERF203
             msg = str(e)
             transient = any(m in msg for m in _TRANSIENT_MARKERS)
@@ -164,32 +164,44 @@ def make_iteration_block(cfg: Config, mcmc_step_fn, training_step):
     ``update_mcmc_width``, ``mcmc.py:153-186``).
 
     Returns:
-        ``block(state, key, pmoves, t, length)`` — jit-compiled per distinct
-        ``length`` — returning ``(state, key, pmoves, t, (stats, pmove))`` with
-        per-iteration statistics stacked along the leading axis.
+        ``block(state, key, pmoves, t, length, penalties=None)`` — jit-compiled
+        per distinct ``length`` — returning ``(state, key, pmoves, t,
+        (stats, pmove))`` with per-iteration statistics stacked along the
+        leading axis.  ``penalties`` is the optional dynamic-penalty operand
+        dict (``system.dynamic_penalties``): it enters the compiled program as
+        traced scalars, so successive launches with different penalty values
+        (penalty sweeps, the per-sector magnetoroton runs) reuse one
+        executable.
     """
     adapt = cfg.mcmc.adapt_frequency
 
-    def body(carry, _):
-        state, key, pmoves, t = carry
-        key, k_mcmc, k_opt = jax.random.split(key, 3)
-        new_data, pmove = mcmc_step_fn(
-            state.params, state.data, k_mcmc, state.mcmc_width
-        )
-        idx = t % adapt
-        pmoves = pmoves.at[idx].set(pmove)
-        do_update = (t > 0) & (idx == 0)
-        mean_pmove = jnp.mean(pmoves)
-        width = state.mcmc_width
-        width = jnp.where(do_update & (mean_pmove > 0.55), width * 1.1, width)
-        width = jnp.where(do_update & (mean_pmove < 0.5), width / 1.1, width)
-        state = state._replace(data=new_data, mcmc_width=width)
-        state, stats = training_step(state, k_opt)
-        return (state, key, pmoves, t + 1), (pack_complex(stats), pmove)
+    def make_body(penalties):
+        def body(carry, _):
+            state, key, pmoves, t = carry
+            key, k_mcmc, k_opt = jax.random.split(key, 3)
+            new_data, pmove = mcmc_step_fn(
+                state.params, state.data, k_mcmc, state.mcmc_width
+            )
+            idx = t % adapt
+            pmoves = pmoves.at[idx].set(pmove)
+            do_update = (t > 0) & (idx == 0)
+            mean_pmove = jnp.mean(pmoves)
+            width = state.mcmc_width
+            width = jnp.where(do_update & (mean_pmove > 0.55), width * 1.1, width)
+            width = jnp.where(do_update & (mean_pmove < 0.5), width / 1.1, width)
+            state = state._replace(data=new_data, mcmc_width=width)
+            state, stats = (
+                training_step(state, k_opt, penalties)
+                if penalties
+                else training_step(state, k_opt)
+            )
+            return (state, key, pmoves, t + 1), (pack_complex(stats), pmove)
+
+        return body
 
     compiled: dict[int, object] = {}
 
-    def block(state, key, pmoves, t, length: int):
+    def block(state, key, pmoves, t, length: int, penalties=None):
         # NOTE: blocks 1 and 2 may compile *different* executables for the same
         # length — donated outputs can come back with different layouts than
         # the freshly device_put inputs, and jit keys on input layouts. Both
@@ -197,14 +209,14 @@ def make_iteration_block(cfg: Config, mcmc_step_fn, training_step):
         # twice.
         if length not in compiled:
 
-            def run(state, key, pmoves, t):
+            def run(state, key, pmoves, t, penalties):
                 (state, key, pmoves, t), outs = jax.lax.scan(
-                    body, (state, key, pmoves, t), length=length
+                    make_body(penalties), (state, key, pmoves, t), length=length
                 )
                 return state, key, pmoves, t, outs
 
             compiled[length] = jax.jit(run, donate_argnums=(0,))
-        return compiled[length](state, key, pmoves, t)
+        return compiled[length](state, key, pmoves, t, penalties or {})
 
     return block
 
@@ -338,6 +350,24 @@ def train(cfg: Config) -> None:
             initial_stats = unpack_complex(jax.device_get(energy_probe(params, data)))
             logger.info("Initial energy: %s", initial_stats["energy"].real)
 
+    # Dynamic-penalty operands (system.dynamic_penalties): replicated device
+    # scalars passed into the fused block each launch, so sector/penalty sweeps
+    # with different values reuse one compiled executable instead of paying a
+    # fresh remote compile per value.
+    penalty_operands = None
+    if cfg.system.dynamic_penalties:
+        penalty_operands = jax.device_put(
+            {
+                "lz_penalty": jnp.asarray(cfg.system.lz_penalty, jnp.float32),
+                "lz_center": jnp.asarray(cfg.system.lz_center, jnp.float32),
+                "l2_penalty": jnp.asarray(cfg.system.l2_penalty, jnp.float32),
+                "overlap_penalty": jnp.asarray(
+                    cfg.system.overlap_penalty, jnp.float32
+                ),
+            },
+            rep_sharding,
+        )
+
     state = CheckpointState(params, data, opt_state, mcmc_width)
     # Width-adaptation state (pmoves ring + step counter) survives a save/restore
     # boundary so a resumed run reproduces the uninterrupted width trajectory.
@@ -377,6 +407,7 @@ def train(cfg: Config) -> None:
                 log_manager=log_manager,
                 adapt={"pmoves": pmoves_dev, "t": t_dev},
                 step=step,
+                penalties=penalty_operands,
             )
             all_stats = unpack_complex(jax.device_get(packed_stats))
             pmove_host = np.asarray(jax.device_get(pmove))

@@ -70,8 +70,18 @@ class LogPsiNetwork(Protocol):
 
 class TrainingStep(Protocol):
     def __call__(
-        self, state: CheckpointState, key: PRNGKey
-    ) -> tuple[CheckpointState, LossStats]: ...
+        self,
+        state: CheckpointState,
+        key: PRNGKey,
+        penalties: dict | None = None,
+    ) -> tuple[CheckpointState, LossStats]:
+        """One optimizer step.
+
+        ``penalties`` is the optional dynamic-penalty operand dict
+        (``system.dynamic_penalties``): traced scalar overrides for the
+        penalty strengths, threaded through the compiled step so penalty
+        sweeps share one executable.
+        """
 
 
 class TrainingInit(Protocol):

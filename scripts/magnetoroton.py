@@ -97,6 +97,11 @@ def phase_overrides(
             "l2_penalty": l2_value,
             "orthogonal_states": orthogonal,
             "overlap_penalty": overlap_penalty,
+            # One compiled executable for every sector/phase/extension: the
+            # penalty scalars ride into the fused block as runtime operands
+            # instead of baked program constants (a fresh remote compile per
+            # value otherwise — 5-20 min each on this runtime).
+            "dynamic_penalties": True,
         },
         "optim": {"iterations": iteration_target},
         "log": {

@@ -153,7 +153,7 @@ def test_resilient_block_retries_transient_runtime_errors(monkeypatch):
     calls = {"n": 0}
     saves = []
 
-    def flaky_block(state, key, pmoves, t, length):
+    def flaky_block(state, key, pmoves, t, length, penalties=None):
         calls["n"] += 1
         if calls["n"] < 3:
             raise jax.errors.JaxRuntimeError(
@@ -185,7 +185,7 @@ def test_resilient_block_retries_transient_runtime_errors(monkeypatch):
     assert out[4] == ("stats", "pmove")
     assert saves == []
 
-    def fatal_block(state, key, pmoves, t, length):
+    def fatal_block(state, key, pmoves, t, length, penalties=None):
         raise jax.errors.JaxRuntimeError("INTERNAL: genuine compiler bug")
 
     with pytest.raises(jax.errors.JaxRuntimeError, match="genuine"):
