@@ -232,13 +232,17 @@ def make_sweep_network(batched_apply):
     forwards through the lane-filling batch-minor attention, which the vmapped
     per-config network can never trigger (it traces at ndim=2).
 
-    ``DEEPHALL_MCMC_DTYPE=bf16``: reduced-precision sampler — the sweep's
-    forwards run their feature tower in bfloat16.  They do NOT feed the local
-    energy (the precision invariant boundary, CLAUDE.md; only the sampled
-    *positions* do), and a deterministic reduced-precision ``log|psi~|`` keeps
-    Metropolis detailed balance exact for ``|psi~|^2``.  The context manager
-    is entered inside the traced function so the reduced tower applies exactly
-    where this wrapper is traced and nowhere else (loss/KFAC stay f32).
+    ``DEEPHALL_MCMC_DTYPE``: sampler precision, default ``bf16`` (reduced
+    precision, +12.8%/+11.3% end-to-end — PERF_NOTES round 4; ``f32`` restores
+    the full-precision sweep).  The sweep's forwards run their feature tower
+    in bfloat16.  They do NOT feed the local energy (the precision invariant
+    boundary, CLAUDE.md; only the sampled *positions* do), and a deterministic
+    reduced-precision ``log|psi~|`` keeps Metropolis detailed balance exact
+    for ``|psi~|^2``.  Physics validated on the converged N=6 production
+    state: f32-vs-bf16 inference tails agree (BASELINE.md round 4).  The
+    context manager is entered inside the traced function so the reduced
+    tower applies exactly where this wrapper is traced and nowhere else
+    (loss/KFAC stay f32).
 
     Shared by the training driver and ``bench.py`` so the benchmark always
     constructs the identical sweep program.
@@ -247,7 +251,7 @@ def make_sweep_network(batched_apply):
         net = batched_apply
     else:
         net = jax.vmap(batched_apply, in_axes=(None, 0))
-    if os.environ.get("DEEPHALL_MCMC_DTYPE", "f32") in ("bf16", "bfloat16"):
+    if os.environ.get("DEEPHALL_MCMC_DTYPE", "bf16") in ("bf16", "bfloat16"):
         _full_precision_network = net
 
         def net(params, x):

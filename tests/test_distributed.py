@@ -111,7 +111,14 @@ def _spawn(script: Path, n_proc: int, port: int, extra_env=None):
     for pid in range(n_proc):
         env = dict(os.environ)
         env.pop("PALLAS_AXON_POOL_IPS", None)
-        env.update(JAX_PLATFORMS="cpu", **(extra_env or {}))
+        # Pin the full-precision sweep: cross-process bit-exact parity (the
+        # assertion these tests make) holds for the f32 sampler, but the bf16
+        # tower's acceptance bits depend on how each process's XLA compilation
+        # associates its reductions — different process layouts then take
+        # different (equally valid) Metropolis trajectories. bf16 correctness
+        # over the mesh is covered in-process by test_mcmc's device-count
+        # invariance test (tests/test_mcmc_bf16.py).
+        env.update(JAX_PLATFORMS="cpu", DEEPHALL_MCMC_DTYPE="f32", **(extra_env or {}))
         if n_proc > 1:
             env.update(
                 JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
