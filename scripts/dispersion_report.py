@@ -58,6 +58,70 @@ def attach_ed_gaps(entries: list[dict], nelec: int, flux: int) -> float | None:
     return e0_ed
 
 
+def sector_ed_anchor(
+    nelec: int, flux: int, m: int, interaction: str = "coulomb",
+    strength: float = 1.0,
+):
+    """Exact ``L = m`` member of the ``Lz = m`` block: ``(E_total, L^2, k)``."""
+    from deephall_tpu.observables import ed
+
+    result = ed.ed_block(
+        nelec, flux, interaction=interaction, two_lz=2 * m, num_states=8
+    )
+    for k in range(len(result.energies)):
+        l2 = ed.state_l2(result, flux, k)
+        if abs(l2 - m * (m + 1)) < 0.5:
+            return nelec / 2.0 + strength * float(result.energies[k]), l2, k
+    return None
+
+
+def rebuild_rows(
+    out_dir, tail: int = 1000, nelec: int | None = None,
+    flux: int | None = None, interaction: str = "coulomb",
+) -> list[dict]:
+    """Recompute dispersion rows from each sector's own train_stats.csv.
+
+    The CSVs are the ground truth; a sweep's dispersion.csv can predate a
+    stats fix (the round-4 sweep wrote rows through a non-robust tail mean —
+    one node-crossing spike row inflated a sector's L^2 column 130x) or a
+    manual sector extension.  Rows are rebuilt from the final ``tail`` steps
+    of each ``sector_<m>/`` run — always inside the final stage, since every
+    stage and extension is at least ``iterations // 4 >= tail`` steps at
+    production budgets — with the robust (median-window) methodology of
+    ``magnetoroton.tail_stats``.
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import magnetoroton
+
+    rows = []
+    for d in sorted(Path(out_dir).glob("sector_*")):
+        name = d.name.split("_")
+        if len(name) != 2 or not name[1].isdigit():
+            continue  # chained higher-band runs (sector_m_stateK) have no selector
+        m = int(name[1])
+        stats_csv = d / "train_stats.csv"
+        if not stats_csv.exists():
+            continue
+        with open(stats_csv) as f:
+            table = list(csv.DictReader(f))
+        if not table:
+            continue
+        last_step = int(float(table[-1]["step"]))
+        stats = magnetoroton.tail_stats(
+            stats_csv, tail, min_step=last_step - tail + 1
+        )
+        row = {"sector": m, "level": 0, **stats}
+        if nelec is not None and flux is not None:
+            anchor = sector_ed_anchor(nelec, flux, m, interaction)
+            if anchor is not None:
+                row["ed_energy"], row["ed_l2"], row["ed_state"] = anchor
+        rows.append(row)
+    return rows
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
     from pathlib import Path
@@ -65,17 +129,34 @@ def main(argv: list[str] | None = None) -> None:
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("dispersion", help="dispersion.csv from magnetoroton.py")
+    parser.add_argument(
+        "dispersion",
+        help="dispersion.csv from magnetoroton.py, or with --rebuild the "
+        "sweep's --out directory (rows recomputed from the sector CSVs)",
+    )
     parser.add_argument("--ground-energy", type=float, required=True,
                         help="converged VMC ground-state energy E0 (tail mean)")
     parser.add_argument("--ground-err", type=float, default=0.0)
     parser.add_argument("--nelec", type=int, default=None,
                         help="with --flux: also print exact ED gaps")
     parser.add_argument("--flux", type=int, default=None)
+    parser.add_argument("--rebuild", action="store_true",
+                        help="recompute rows from sector_*/train_stats.csv "
+                        "(robust tails) instead of reading dispersion.csv")
+    parser.add_argument("--tail", type=int, default=1000,
+                        help="tail rows per sector for --rebuild")
     args = parser.parse_args(argv)
 
-    with open(args.dispersion) as f:
-        rows = list(csv.DictReader(f))
+    if args.rebuild:
+        rows = [
+            {k: str(v) for k, v in r.items()}
+            for r in rebuild_rows(
+                args.dispersion, args.tail, args.nelec, args.flux
+            )
+        ]
+    else:
+        with open(args.dispersion) as f:
+            rows = list(csv.DictReader(f))
     entries = report(rows, args.ground_energy, args.ground_err)
     e0_ed = None
     if args.nelec is not None and args.flux is not None:

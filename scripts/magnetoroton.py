@@ -112,9 +112,10 @@ def phase_overrides(
 
 
 def tail_stats(
-    csv_path: Path, rows: int, min_step: int | None = None
+    csv_path: Path, rows: int, min_step: int | None = None,
+    window: float = 0.05,
 ) -> dict[str, float]:
-    """Tail statistics of a train_stats.csv, sliced by *step number*.
+    """Robust tail statistics of a train_stats.csv, sliced by *step number*.
 
     ``min_step`` restricts the window to rows of the final phase: StatsWriter
     appends across phases (and across driver re-launches), so a row-count
@@ -122,6 +123,16 @@ def tail_stats(
     kick, no selector) into the dispersion point.  Step-number slicing is
     robust to both multi-phase runs and resumed runs with duplicated step
     ranges (the last ``rows`` filtered rows win by recency).
+
+    Node-crossing spike rows are dropped by the BASELINE.md methodology (a
+    ``window`` band around the tail's *median* energy): the per-step CSV
+    keeps the unclipped local-energy mean, and a single walker crossing a
+    node logs |E| up to ~1e4 with L^2 up to ~1e6 — one such row pushed a
+    crude tail mean to L^2 = 1268 vs a robust 9.6 (runs/roton13 sector 2),
+    which would both corrupt the dispersion point and make the purity rail
+    extend a converged stage.  The spike mask comes from the energy column
+    and is applied to every reported column (a spiked row is unusable in
+    all of them); the energy error bar is blocked (20 blocks).
     """
     with open(csv_path) as f:
         table = list(csv.DictReader(f))
@@ -136,15 +147,25 @@ def tail_stats(
         return np.array([float(r[name]) for r in tail])
 
     energy = col("energy")
+    keep = np.isfinite(energy) & (
+        np.abs(energy - np.median(energy[np.isfinite(energy)])) <= window
+    )
+    if not keep.any():  # pathological tail: fall back to finite rows only
+        keep = np.isfinite(energy)
+    energy = energy[keep]
+    nblocks = max(2, min(20, energy.size))
+    block_means = [b.mean() for b in np.array_split(energy, nblocks)]
     out = {
         "energy": float(energy.mean()),
-        "energy_err": float(energy.std(ddof=1) / np.sqrt(len(energy))),
-        "variance": float(col("variance").mean()),
-        "L_square": float(col("L_square").mean()),
-        "Lz": float(col("Lz").mean()),
+        "energy_err": float(
+            np.std(block_means, ddof=1) / np.sqrt(len(block_means))
+        ),
+        "variance": float(np.median(col("variance")[keep])),
+        "L_square": float(col("L_square")[keep].mean()),
+        "Lz": float(col("Lz")[keep].mean()),
     }
     if tail and "overlap" in tail[-1]:
-        out["overlap"] = float(col("overlap").mean())
+        out["overlap"] = float(col("overlap")[keep].mean())
     return out
 
 

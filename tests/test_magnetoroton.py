@@ -268,3 +268,63 @@ def test_dispersion_report_merge():
     assert abs(l3["purity"] - 0.15) < 1e-9
     assert l3["dev_sigma"] < 0  # VMC below the exact LLL energy (LL mixing)
     assert l2["dev_sigma"] > 0  # impure sector sits above its ED target
+
+
+def test_tail_stats_drops_node_crossing_spikes(tmp_path):
+    """One spike row must not corrupt the tail point or the purity rail.
+
+    Measured failure (runs/roton13 sector 2): a single node-crossing row with
+    L^2 ~ 6e5 pushed the crude window mean to L^2 = 1268 vs the robust 9.6,
+    so the rail read a converged-looking stage as wildly impure. The energy-
+    median window mask must drop such rows from every reported column.
+    """
+    path = tmp_path / "train_stats.csv"
+    rows = []
+    for i in range(100):
+        rows.append({"step": i, "energy": 7.10 + 0.001 * (i % 3),
+                     "variance": 0.2, "L_square": 6.01, "Lz": 2.0,
+                     "overlap": 0.001})
+    rows[57] = {"step": 57, "energy": 3.2e4, "variance": 1e12,
+                "L_square": 6.3e5, "Lz": 2.0, "overlap": 0.9}
+    with open(path, "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=list(rows[0]))
+        writer.writeheader()
+        writer.writerows(rows)
+
+    stats = magnetoroton.tail_stats(path, rows=100)
+    assert abs(stats["L_square"] - 6.01) < 1e-6
+    assert abs(stats["energy"] - 7.101) < 0.01
+    assert stats["variance"] < 1.0  # median, not spike-dominated mean
+    assert stats["overlap"] < 0.01
+    assert stats["energy_err"] < 0.001
+
+
+def test_dispersion_report_rebuild(tmp_path):
+    """--rebuild recomputes rows from the sector CSVs (final-tail windows)."""
+    import dispersion_report
+
+    out = tmp_path / "roton"
+    for m, (energy, l2) in {2: (7.002, 6.02), 4: (6.954, 20.04)}.items():
+        d = out / f"sector_{m}"
+        d.mkdir(parents=True)
+        _fake_stats(d / "train_stats.csv", energy=5.0, last_step=50,
+                    l_square=999.0)  # escape-phase rows: must be excluded
+        _fake_stats(d / "train_stats.csv", energy=energy, last_step=100,
+                    l_square=l2)
+    # A chained higher-band run must be ignored by the rebuild glob.
+    chained = out / "sector_2_state1"
+    chained.mkdir()
+    _fake_stats(chained / "train_stats.csv", energy=7.2, last_step=100)
+
+    rows = dispersion_report.rebuild_rows(out, tail=10)
+    assert [r["sector"] for r in rows] == [2, 4]
+    assert abs(rows[0]["energy"] - 7.002) < 1e-9
+    assert abs(rows[0]["L_square"] - 6.02) < 1e-9
+    assert abs(rows[1]["L_square"] - 20.04) < 1e-9
+
+    entries = dispersion_report.report(
+        [{k: str(v) for k, v in r.items()} for r in rows],
+        e0_vmc=6.868, e0_err=1e-4,
+    )
+    assert [e["L"] for e in entries] == [2, 4]
+    assert abs(entries[1]["gap_vmc"] - (6.954 - 6.868)) < 1e-9
