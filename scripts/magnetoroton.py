@@ -369,7 +369,11 @@ def main(argv: list[str] | None = None) -> None:
             # Extend with the selector on until |<L^2> - m(m+1)| <= tol, up to
             # --max-extend extensions; from the second extension the selector
             # is strengthened 1.5x (clamped inside the stability window).
-            cur_target = phases[-1][2]
+            # A resumed run may already sit beyond the planned final target
+            # (a re-launch with a smaller --iterations over an extended run);
+            # extensions must build on the restored step or their train()
+            # calls are no-ops below the checkpoint's iteration counter.
+            cur_target = max(phases[-1][2], resume_step or 0)
             cur_k = l2_penalty
             stats_csv = run_dir / "train_stats.csv"
             if level == 0 and l2_penalty and args.l2_tol > 0:

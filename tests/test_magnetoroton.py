@@ -328,3 +328,58 @@ def test_dispersion_report_rebuild(tmp_path):
     )
     assert [e["L"] for e in entries] == [2, 4]
     assert abs(entries[1]["gap_vmc"] - (6.954 - 6.868)) < 1e-9
+
+
+def test_rail_extends_from_resumed_step_beyond_plan(tmp_path, monkeypatch):
+    """Extensions of a run resumed beyond its planned target must train.
+
+    Re-launching with a smaller --iterations over an already-extended sector
+    plans phase targets below the restored step; the rail's extension targets
+    must build on the resume point or every extension train() call no-ops
+    below the checkpoint's iteration counter and the rail spins without
+    training.
+    """
+    base_cfg = Config()
+    base_cfg.system.flux = 15
+    base_cfg.system.nspins = (6, 0)
+    config_yml = tmp_path / "config.yml"
+    config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
+
+    seen: list[Config] = []
+
+    def fake_train(cfg: Config):
+        seen.append(cfg)
+        run_dir = Path(cfg.log.save_path)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        _fake_stats(run_dir / "train_stats.csv", energy=7.0,
+                    last_step=cfg.optim.iterations, l_square=6.01)
+        np.savez(run_dir / f"ckpt_{cfg.optim.iterations - 1:06d}.npz",
+                 step=cfg.optim.iterations - 1)
+
+    import importlib
+
+    train_module = importlib.import_module("deephall_tpu.train")
+    monkeypatch.setattr(train_module, "train", fake_train)
+
+    ground = tmp_path / "ground_ckpt_000049.npz"
+    np.savez(ground, step=49)
+    out = tmp_path / "roton"
+    # Pre-populate sector 2 as an extended run at step 399 — far beyond the
+    # new plan's final target 50 + 100 = 150 — with an impure tail.
+    sector = out / "sector_2"
+    sector.mkdir(parents=True)
+    _fake_stats(sector / "train_stats.csv", energy=7.0, last_step=400,
+                l_square=9.0)
+    np.savez(sector / "ckpt_000399.npz", step=399)
+
+    magnetoroton.main([
+        "--config", str(config_yml), "--out", str(out),
+        "--sectors", "2", "--iterations", "100",
+        "--restore", str(ground), "--tail", "5",
+    ])
+
+    # All planned phases predate the resume; exactly one extension trains,
+    # targeted past the resumed step (400 + 100//4), and its tail converges.
+    assert len(seen) == 1
+    assert seen[0].optim.iterations == 400 + 25
+    assert seen[0].log.restore_path is None
