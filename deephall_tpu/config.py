@@ -209,6 +209,23 @@ class System:
     l2_penalty: float = 0.0
     "The strength of the penalty for L^2."
 
+    l2_center: float = 0.0
+    """One-sided floor for the ``l2_penalty`` gradient: ``k * relu(<L^2> - c)``.
+
+    TPU extension (the reference penalty is the ``c = 0`` special case, which
+    is also the default here — for ``<L^2> >= 0`` the relu gate is always
+    open at ``c = 0``).  With ``c = L(L+1)`` the penalty selects the ``L``
+    multiplet *from above only*: inside an ``Lz = m`` sector every state has
+    ``L >= m``, so for ``c = m(m+1)`` the gated penalty is identical to the
+    linear selector ``k * <L^2>`` (extremal on eigenstates — the measured
+    energy stays unbiased), while the cross-sector tunneling instability that
+    bounded ``k < lz_penalty / 2m`` (a lower-L sector trades ``L^2`` saving
+    against the ``Lz`` mismatch) gets zero gradient: below the floor the
+    penalty vanishes, so the selector strength is no longer capped.  The gate
+    reads the IQR-clipped batch mean, so a node-crossing walker cannot flip
+    it.
+    """
+
     orthogonal_states: tuple[str, ...] = ()
     """Checkpoint paths of converged lower states for excited-state VMC.
 
@@ -251,7 +268,8 @@ class System:
 
     TPU extension (no reference counterpart): with the default ``False`` the
     penalty values (``lz_center``, ``lz_penalty``, ``l2_penalty``,
-    ``overlap_penalty``) are baked into the jitted training step as program
+    ``l2_center``, ``overlap_penalty``) are baked into the jitted training
+    step as program
     constants — every new value is a fresh XLA compile (5-20 min on remote
     compile services).  ``True`` threads them through the fused iteration
     block as traced scalars instead, so sweeps over penalty values (e.g. the

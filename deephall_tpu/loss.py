@@ -111,12 +111,18 @@ def stats_and_clipped_diff(
     :func:`orthogonality_stats_and_diff`.
 
     ``penalties`` (``system.dynamic_penalties``): a non-empty dict of traced
-    scalars ``{lz_penalty, lz_center, l2_penalty, overlap_penalty}`` replaces
+    scalars ``{lz_penalty, lz_center, l2_penalty, l2_center,
+    overlap_penalty}`` replaces
     the static config values so penalty sweeps share one compiled step; the
     penalty terms are then assembled unconditionally (a zero scalar multiplies
     them away at runtime, which is exact: each term is ``penalty * (...)``).
     """
-    mean_observables = jax.tree.map(jnp.mean, other_observables)
+    # nanmean like the energy statistic below: a single walker pinned near a
+    # coordinate pole makes its local L^2 (the 1/tan, 1/sin^2 terms) overflow
+    # to NaN while its energy stays finite, and a plain mean would log a NaN
+    # L_square row for the whole step (measured ~1-2 per 1000 steps in the
+    # sector-penalty runs, runs/roton13).
+    mean_observables = jax.tree.map(jnp.nanmean, other_observables)
     loss = jnp.nanmean(el)
     clipped_loss = jnp.nanmean(iqr_clip(el))
     diff_to_clip = el - clipped_loss
@@ -141,9 +147,16 @@ def stats_and_clipped_diff(
         )
     if (dynamic and system.compute_l2) or system.l2_penalty:
         l2_penalty = penalties["l2_penalty"] if dynamic else system.l2_penalty
+        l2_center = penalties["l2_center"] if dynamic else system.l2_center
         l2 = other_observables["angular_momentum_square"]
         clipped_l2 = jnp.nanmean(iqr_clip_real(l2))
-        diff_to_clip += l2_penalty * (l2 - clipped_l2)
+        # One-sided selector gate (system.l2_center): the penalty gradient is
+        # k * relu(<L^2> - c) — zero below the floor, the plain linear pull
+        # above it.  c = 0 (the default, and the reference semantics) leaves
+        # the gate always open since <L^2> >= 0.  The gate reads the clipped
+        # batch mean, so one node-crossing walker cannot flip it.
+        gate = (clipped_l2 > l2_center).astype(l2.real.dtype)
+        diff_to_clip += l2_penalty * gate * (l2 - clipped_l2)
     diff = iqr_clip(diff_to_clip)
 
     variance = jnp.nanmean(el.real**2) - loss.real**2

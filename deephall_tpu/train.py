@@ -365,6 +365,7 @@ def train(cfg: Config) -> None:
                 "lz_penalty": jnp.asarray(cfg.system.lz_penalty, jnp.float32),
                 "lz_center": jnp.asarray(cfg.system.lz_center, jnp.float32),
                 "l2_penalty": jnp.asarray(cfg.system.l2_penalty, jnp.float32),
+                "l2_center": jnp.asarray(cfg.system.l2_center, jnp.float32),
                 "overlap_penalty": jnp.asarray(
                     cfg.system.overlap_penalty, jnp.float32
                 ),

@@ -17,7 +17,12 @@ any ``k`` in the window ``gap / L^2-spacing < k < k_z / 2 m_max`` selects it —
 below the lower edge the sector minimum wins, above the upper edge the state
 tunnels into a lower-L *sector* (the L^2 saving beats the Lz mismatch) — and
 the L=0 ground state is excluded automatically (its Lz penalty costs
-``k_z m^2``).  Measured on CPU at
+``k_z m^2``).  The default ``--selector onesided`` floors the penalty at the
+target multiplet instead (``system.l2_center = m(m+1)``, gradient
+``k * relu(<L^2> - c)``): in-sector it is the same unbiased linear selector
+(every ``Lz = m`` state has ``L >= m``), but the tunneling direction has zero
+gradient, so ``k`` needs no upper clamp and the selector can stay on during
+the escape stage to suppress the high-L overshoot.  Measured on CPU at
 N=4 (BASELINE.md): without the ``L^2`` term a sector run may land on a
 *different branch member* (Lz=3 found the L=4 state) or a slowly-converging
 mixture; with it, each sector converges to its ``L = m`` state.  ``--chain``
@@ -53,24 +58,33 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def plan_phases(
     level: int, l2_penalty: float, lz_penalty: float,
-    base_step: int, iterations: int,
+    base_step: int, iterations: int, one_sided: bool = False,
 ) -> list[tuple[float, float, int]]:
     """Stage plan ``[(l2_penalty, lz_penalty, iteration_target), ...]``.
 
     Two stages for the L^2-selected first state (measured necessary at N=4):
     a symmetry eigenstate is a stationary point of every penalty's covariance
-    gradient (the local values are constant), and with the L^2 term on from
-    the start the warm-started run never leaves the ground state.  Stage A
-    escapes the Lz=0 sector with a deliberately strong Lz kick — the gradient
-    grows proportionally to the (tiny) symmetry-breaking admixture in the warm
-    start, and at the nominal penalty the instability may not amplify within
-    the stage (observed: identically configured escape runs either left the
-    sector in ~200 steps or sat at the ground for 1500).  Stage B resumes the
-    same run with the L^2 selector on to purify the targeted L = m member.
+    gradient (the local values are constant), and with the two-sided L^2 term
+    on from the start the warm-started run never leaves the ground state (the
+    penalty deepens the L^2 = 0 basin).  Stage A escapes the Lz=0 sector with
+    a deliberately strong Lz kick — the gradient grows proportionally to the
+    (tiny) symmetry-breaking admixture in the warm start, and at the nominal
+    penalty the instability may not amplify within the stage (observed:
+    identically configured escape runs either left the sector in ~200 steps
+    or sat at the ground for 1500).  Stage B resumes the same run with the
+    L^2 selector on to purify the targeted L = m member.
+
+    ``one_sided`` (the ``system.l2_center`` floor ``k * relu(<L^2> - c)``):
+    the selector stays on during the escape too — below the floor it has
+    zero gradient, so it cannot deepen the ground basin, while it suppresses
+    the measured escape overshoot into high-L mixtures (the N=6 sweep's 4x
+    kick left sector 3 at <L^2> ~ 50 vs the target 12, leaving the whole
+    rotation to the purify stage).
     """
     if level == 0 and l2_penalty:
         return [
-            (0.0, 4.0 * lz_penalty, base_step + iterations // 2),
+            (l2_penalty if one_sided else 0.0, 4.0 * lz_penalty,
+             base_step + iterations // 2),
             (l2_penalty, lz_penalty, base_step + iterations),
         ]
     return [(0.0, lz_penalty, base_step + iterations)]
@@ -80,7 +94,7 @@ def phase_overrides(
     *, base_seed: int, m: int, level: int, phase_index: int,
     l2_value: float, lz_value: float, iteration_target: int,
     run_dir: str, restore: str | None, orthogonal: list[str],
-    overlap_penalty: float,
+    overlap_penalty: float, l2_center: float = 0.0,
 ) -> dict:
     """Config overrides for one phase of one sector run.
 
@@ -95,6 +109,7 @@ def phase_overrides(
             "lz_center": float(m),
             "lz_penalty": lz_value,
             "l2_penalty": l2_value,
+            "l2_center": l2_center,
             "orthogonal_states": orthogonal,
             "overlap_penalty": overlap_penalty,
             # One compiled executable for every sector/phase/extension: the
@@ -152,6 +167,15 @@ def tail_stats(
     )
     if not keep.any():  # pathological tail: fall back to finite rows only
         keep = np.isfinite(energy)
+
+    def masked_mean(name):
+        # Older CSVs log observables with a plain mean, so a row can carry a
+        # finite energy but a NaN L_square (near-pole walker); mask per
+        # column on top of the energy-window row mask.
+        values = col(name)[keep]
+        values = values[np.isfinite(values)]
+        return float(values.mean()) if values.size else float("nan")
+
     energy = energy[keep]
     nblocks = max(2, min(20, energy.size))
     block_means = [b.mean() for b in np.array_split(energy, nblocks)]
@@ -160,12 +184,12 @@ def tail_stats(
         "energy_err": float(
             np.std(block_means, ddof=1) / np.sqrt(len(block_means))
         ),
-        "variance": float(np.median(col("variance")[keep])),
-        "L_square": float(col("L_square")[keep].mean()),
-        "Lz": float(col("Lz")[keep].mean()),
+        "variance": float(np.nanmedian(col("variance")[keep])),
+        "L_square": masked_mean("L_square"),
+        "Lz": masked_mean("Lz"),
     }
     if tail and "overlap" in tail[-1]:
-        out["overlap"] = float(col("overlap")[keep].mean())
+        out["overlap"] = masked_mean("overlap")
     return out
 
 
@@ -187,17 +211,30 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--lz-penalty", type=float, default=1.0)
     parser.add_argument(
-        "--l2-penalty", type=float, default=0.1,
+        "--selector", choices=["onesided", "window"], default="onesided",
+        help="L^2 selector form. 'onesided' (default) floors the penalty at "
+        "the target multiplet via system.l2_center = m(m+1): inside the "
+        "Lz = m sector every state has L >= m, so the gated penalty equals "
+        "the unbiased linear selector, while the cross-sector tunneling "
+        "direction (the instability that capped k) has zero gradient — k "
+        "needs no clamp, and the selector stays on during the escape stage "
+        "(zero at the ground, suppresses the high-L overshoot). 'window' is "
+        "the legacy two-sided selector with the k < 0.8*lz_penalty/(2m) "
+        "stability clamp.",
+    )
+    parser.add_argument(
+        "--l2-penalty", type=float, default=None,
         help="L^2 penalty selecting the L = m member of sector Lz = m: it is "
         "the sector's minimum-L^2 state, and a linear combination E + k<L^2> "
         "is extremal on an eigenstate (vertex of the convex hull), so the "
-        "measured energy stays unbiased. Two-sided window (measured at N=4): "
-        "k must exceed gap/within-sector-L^2-spacing to purify, but stay "
-        "BELOW lz_penalty/(2 m) or the L^2 term overwhelms the Lz "
-        "mismatch and the run escapes into a lower-L sector (k=0.5 sent the "
-        "Lz=3 run to the L=2, Lz=2 state). The driver clamps the value to "
-        "0.8*lz_penalty/(2 m) per sector, so the upper edge never binds at "
-        "the outer sectors. Set 0 to fall back to lowest-in-sector + --chain.",
+        "measured energy stays unbiased. Default 1.0 for --selector "
+        "onesided (no stability ceiling), 0.1 for the two-sided window "
+        "(measured at N=4: k must exceed gap/within-sector-L^2-spacing to "
+        "purify, but stay BELOW lz_penalty/(2 m) or the L^2 term overwhelms "
+        "the Lz mismatch and the run escapes into a lower-L sector — k=0.5 "
+        "sent the Lz=3 run to the L=2, Lz=2 state; the driver clamps to "
+        "0.8*lz_penalty/(2 m) per sector). Set 0 to fall back to "
+        "lowest-in-sector + --chain.",
     )
     parser.add_argument(
         "--overlap-penalty", type=float, default=1.0,
@@ -285,15 +322,21 @@ def main(argv: list[str] | None = None) -> None:
         with open(dispersion) as f:
             done_rows = {(r["sector"], r["level"]) for r in csv.DictReader(f)}
 
+    one_sided = args.selector == "onesided"
+    if args.l2_penalty is None:
+        args.l2_penalty = 1.0 if one_sided else 0.1
+
     for m in args.sectors:
-        # Keep the selector inside its stability window per sector: tunneling
-        # from (L=m, Lz=m) to (L=m-1, Lz=m-1) costs lz_penalty but saves
-        # 2*m*k of L^2 penalty, so k must stay below lz_penalty/(2m) — with
-        # one global k the documented upper edge binds at the OUTERMOST
-        # sector, and the default 0.1 would already tunnel at m >= 5.
+        # Two-sided window only: keep the selector inside its stability
+        # window per sector — tunneling from (L=m, Lz=m) to (L=m-1, Lz=m-1)
+        # costs lz_penalty but saves 2*m*k of L^2 penalty, so k must stay
+        # below lz_penalty/(2m); with one global k the upper edge binds at
+        # the OUTERMOST sector (0.1 would already tunnel at m >= 5).  The
+        # one-sided floor has zero gradient in the tunneling direction, so
+        # no clamp applies.
         l2_penalty = args.l2_penalty
         k_bound = float("inf")
-        if l2_penalty and m > 0:
+        if l2_penalty and m > 0 and not one_sided:
             k_bound = 0.8 * args.lz_penalty / (2.0 * m)
             if l2_penalty > k_bound:
                 print(
@@ -302,6 +345,7 @@ def main(argv: list[str] | None = None) -> None:
                     flush=True,
                 )
                 l2_penalty = k_bound
+        l2_center = float(m * (m + 1)) if one_sided and l2_penalty else 0.0
         previous: list[str] = []
         for level in range(args.chain + 1):
             name = f"sector_{m}" if level == 0 else f"sector_{m}_state{level}"
@@ -320,7 +364,7 @@ def main(argv: list[str] | None = None) -> None:
             base_step = checkpoint_step(restore) if restore else 0
             phases = plan_phases(
                 level, l2_penalty, args.lz_penalty, base_step,
-                args.iterations,
+                args.iterations, one_sided=one_sided,
             )
             # A prior launch may have trained part of this sector: resume the
             # run's own checkpoints (an explicit restore_path would rewind to
@@ -352,6 +396,7 @@ def main(argv: list[str] | None = None) -> None:
                     restore=None if resume_step is not None else restore,
                     orthogonal=anchor + previous,
                     overlap_penalty=args.overlap_penalty,
+                    l2_center=l2_center if l2_value else 0.0,
                 )
                 if phase_index == len(phases) - 1 and len(phases) > 1:
                     final_phase_start = phases[phase_index - 1][2]
@@ -405,6 +450,7 @@ def main(argv: list[str] | None = None) -> None:
                         iteration_target=cur_target, run_dir=str(run_dir),
                         restore=None, orthogonal=anchor + previous,
                         overlap_penalty=args.overlap_penalty,
+                        l2_center=l2_center,
                     ))
 
             ckpts = sorted(run_dir.glob("ckpt_*.npz"))

@@ -46,11 +46,14 @@ def _setup(optimizer, *, lz_penalty, lz_center, l2_penalty, dynamic):
     return cfg, model, training_step, state
 
 
-def _operands(lz_penalty, lz_center, l2_penalty, overlap_penalty=1.0):
+def _operands(
+    lz_penalty, lz_center, l2_penalty, overlap_penalty=1.0, l2_center=0.0
+):
     return {
         "lz_penalty": jnp.asarray(lz_penalty, jnp.float32),
         "lz_center": jnp.asarray(lz_center, jnp.float32),
         "l2_penalty": jnp.asarray(l2_penalty, jnp.float32),
+        "l2_center": jnp.asarray(l2_center, jnp.float32),
         "overlap_penalty": jnp.asarray(overlap_penalty, jnp.float32),
     }
 

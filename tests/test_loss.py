@@ -132,3 +132,78 @@ def test_fused_capture_matches_separate_paths():
     dy_ref = jax.grad(capture_scalar)(taps0)
     for a, b in zip(jax.tree.leaves(dy), jax.tree.leaves(dy_ref)):
         assert jnp.allclose(a, b, atol=1e-5), (a, b)
+
+
+def test_l2_center_one_sided_gate():
+    """k * relu(<L^2> - c): zero gradient below the floor, plain pull above.
+
+    Inside an Lz = m sector every state has L >= m, so with c = m(m+1) the
+    gated penalty is identical to the ungated linear selector (the unbiased
+    extremal objective) while the cross-sector tunneling direction — the
+    instability that bounded k < lz_penalty/2m — gets zero gradient.
+    """
+    import dataclasses
+
+    system, model, params, data = _setup()
+    network = model.apply
+
+    def diff_for(l2_penalty, l2_center, penalties=None):
+        sys_i = dataclasses.replace(
+            system, l2_penalty=l2_penalty, l2_center=l2_center
+        )
+        _, diff = make_loss_fn(network, sys_i, LossMode.ENERGY_DIFF)(
+            params, data, penalties
+        )
+        return diff
+
+    base = diff_for(0.0, 0.0)
+    legacy = diff_for(0.5, 0.0)
+    assert not jnp.allclose(base, legacy)  # the penalty term is active
+
+    # Floor above the batch mean: gate closed, the L^2 term must vanish.
+    gated_off = diff_for(0.5, 1e6)
+    assert jnp.allclose(gated_off, base, atol=1e-7)
+
+    # Floor below the batch mean: gate open, identical to the c=0 penalty
+    # (the center shifts the objective by a constant, never the gradient).
+    gated_on = diff_for(0.5, 1e-3)
+    assert jnp.allclose(gated_on, legacy, atol=1e-7)
+
+    # Dynamic-operand parity: traced scalars give the static-config result.
+    ops = {
+        "lz_penalty": jnp.float32(0.0), "lz_center": jnp.float32(0.0),
+        "l2_penalty": jnp.float32(0.5), "l2_center": jnp.float32(1e6),
+        "overlap_penalty": jnp.float32(0.0),
+    }
+    assert jnp.allclose(diff_for(0.5, 1e6, ops), gated_off, atol=1e-7)
+    ops["l2_center"] = jnp.float32(1e-3)
+    assert jnp.allclose(diff_for(0.5, 1e-3, ops), gated_on, atol=1e-7)
+
+
+def test_stats_nan_resistant_observables():
+    """One near-pole walker (NaN local L^2) must not NaN the logged step stats.
+
+    Measured in the sector-penalty runs (runs/roton13): a walker pinned near a
+    coordinate pole overflows the 1/tan, 1/sin^2 terms of its local L^2 while
+    its energy stays finite; a plain mean then logs a NaN L_square row, which
+    poisons any downstream tail average. The logged statistics use nanmean,
+    like the energy already did.
+    """
+    import numpy as np
+
+    from deephall_tpu.loss import stats_and_clipped_diff
+
+    batch = 16
+    el = jnp.full((batch,), 6.8, jnp.complex64)
+    obs = {
+        "angular_momentum_z": jnp.full((batch,), 2.0 + 0j, jnp.complex64),
+        "angular_momentum_z_square": jnp.full((batch,), 4.0, jnp.complex64),
+        "angular_momentum_square": jnp.full((batch,), 6.0, jnp.complex64)
+        .at[3].set(jnp.nan),
+        "kinetic": jnp.full((batch,), 3.0, jnp.complex64),
+        "potential": jnp.full((batch,), 3.8, jnp.float32),
+    }
+    stats, diff = stats_and_clipped_diff(System(), el, obs)
+    assert np.isfinite(stats["angular_momentum_square"].real)
+    assert abs(stats["angular_momentum_square"].real - 6.0) < 1e-6
+    assert np.isfinite(stats["energy"].real)

@@ -78,6 +78,7 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
             "--chain", "1",
             "--iterations", "123",
             "--restore", str(ground),
+            "--selector", "window",  # legacy two-sided assertions below
             "--l2-penalty", "0.4",
             "--tail", "5",
             "--l2-tol", "0",  # purity rail covered by test_l2_purity_rail
@@ -175,6 +176,7 @@ def test_l2_purity_rail(tmp_path, monkeypatch):
         "--config", str(config_yml), "--out", str(out),
         "--sectors", "2", "--iterations", "100",
         "--restore", str(ground), "--tail", "5",
+        "--selector", "window",  # legacy two-sided plan pinned below
     ])
 
     # escape + purify + exactly one extension (the second tail converged).
@@ -236,7 +238,8 @@ def test_relaunch_resumes_own_run_and_skips_done(tmp_path, monkeypatch):
     assert len(seen) == 1
     assert seen[0].log.restore_path is None
     assert seen[0].optim.iterations == 150
-    assert seen[0].system.l2_penalty == 0.1
+    assert seen[0].system.l2_penalty == 1.0  # onesided default, unclamped
+    assert seen[0].system.l2_center == 6.0  # floored at the L=2 multiplet
 
     # Second re-launch: the sector row is already in dispersion.csv -> no-op.
     magnetoroton.main([
@@ -286,6 +289,11 @@ def test_tail_stats_drops_node_crossing_spikes(tmp_path):
                      "overlap": 0.001})
     rows[57] = {"step": 57, "energy": 3.2e4, "variance": 1e12,
                 "L_square": 6.3e5, "Lz": 2.0, "overlap": 0.9}
+    # Near-pole walker: finite (normal) energy but NaN L^2 — older CSVs log
+    # observables with a plain mean, so such rows exist (runs/roton13
+    # sector 3 had 6 in 3000); the per-column finite mask must drop them.
+    rows[71] = {"step": 71, "energy": 7.101, "variance": 0.2,
+                "L_square": float("nan"), "Lz": 2.0, "overlap": 0.001}
     with open(path, "w", newline="") as f:
         writer = csv.DictWriter(f, fieldnames=list(rows[0]))
         writer.writeheader()
@@ -383,3 +391,64 @@ def test_rail_extends_from_resumed_step_beyond_plan(tmp_path, monkeypatch):
     assert len(seen) == 1
     assert seen[0].optim.iterations == 400 + 25
     assert seen[0].log.restore_path is None
+
+
+def test_onesided_selector_plan(tmp_path, monkeypatch):
+    """Default selector: floored L^2 penalty, on during escape, no clamp.
+
+    At m=5 the two-sided window would clamp k to 0.8/(2*5) = 0.08; the
+    one-sided floor (l2_center = 30) has zero gradient in the tunneling
+    direction, so the full k rides through every stage and the rail
+    escalation is unclamped.
+    """
+    base_cfg = Config()
+    base_cfg.system.flux = 15
+    base_cfg.system.nspins = (6, 0)
+    config_yml = tmp_path / "config.yml"
+    config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
+
+    l_squares = [40.0, 31.0, 30.6, 30.01]
+    seen: list[Config] = []
+
+    def fake_train(cfg: Config):
+        seen.append(cfg)
+        run_dir = Path(cfg.log.save_path)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        _fake_stats(run_dir / "train_stats.csv", energy=7.0,
+                    last_step=cfg.optim.iterations,
+                    l_square=l_squares[len(seen) - 1])
+        np.savez(run_dir / f"ckpt_{cfg.optim.iterations - 1:06d}.npz",
+                 step=cfg.optim.iterations - 1)
+
+    import importlib
+
+    train_module = importlib.import_module("deephall_tpu.train")
+    monkeypatch.setattr(train_module, "train", fake_train)
+
+    ground = tmp_path / "ground_ckpt_000049.npz"
+    np.savez(ground, step=49)
+    out = tmp_path / "roton"
+    magnetoroton.main([
+        "--config", str(config_yml), "--out", str(out),
+        "--sectors", "5", "--iterations", "100",
+        "--restore", str(ground), "--tail", "5",
+    ])
+
+    assert len(seen) == 4
+    escape, purify, ext1, ext2 = seen
+    # The selector rides through the escape stage (gated off at the ground).
+    assert escape.system.l2_penalty == 1.0
+    assert escape.system.l2_center == 30.0
+    assert escape.system.lz_penalty == 4.0
+    # No stability clamp: the full default k survives at the outer sector.
+    assert purify.system.l2_penalty == 1.0
+    assert purify.system.l2_center == 30.0
+    assert purify.system.lz_penalty == 1.0
+    # Rail escalation is unclamped from the second extension on.
+    assert ext1.system.l2_penalty == 1.0
+    assert ext2.system.l2_penalty == 1.5
+    assert ext2.system.l2_center == 30.0
+
+    with open(out / "dispersion.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1 and abs(float(rows[0]["L_square"]) - 30.01) < 1e-9
