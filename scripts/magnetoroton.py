@@ -20,9 +20,18 @@ the L=0 ground state is excluded automatically (its Lz penalty costs
 ``k_z m^2``).  The default ``--selector onesided`` floors the penalty at the
 target multiplet instead (``system.l2_center = m(m+1)``, gradient
 ``k * relu(<L^2> - c)``): in-sector it is the same unbiased linear selector
-(every ``Lz = m`` state has ``L >= m``), but the tunneling direction has zero
-gradient, so ``k`` needs no upper clamp and the selector can stay on during
-the escape stage to suppress the high-L overshoot.  Measured on CPU at
+(every ``Lz = m`` state has ``L >= m``), it is exactly zero at the converged
+target (no residual bias to trade against), and it can stay on during the
+escape stage to suppress the high-L overshoot.  The floor does NOT remove
+the tunneling channel, though — measured in the N=6 sweep (sector 2 rescue,
+k = 2.0): while ``<L^2>`` sits above the floor, trading above-floor
+contamination into *below*-floor components (L=1, Lz=1) still lowers the
+penalty at a fixed Lz cost, and the state drifted Lz 2 -> 1.31.  The same
+stability window therefore binds in both modes; the driver keeps the
+requested ``k`` inside it by raising the purify-stage Lz penalty to
+``3 k m`` (unbiased: the Lz penalty is exactly zero at the in-sector
+target) instead of clamping ``k`` down (measured 30x slower rotation at the
+window-clamped k).  Measured on CPU at
 N=4 (BASELINE.md): without the ``L^2`` term a sector run may land on a
 *different branch member* (Lz=3 found the L=4 state) or a slowly-converging
 mixture; with it, each sector converges to its ``L = m`` state.  ``--chain``
@@ -56,9 +65,41 @@ import yaml
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def escape_kick(lz_penalty: float, m: int) -> float:
+    """Escape-stage Lz penalty: a strong kick, capped for stability.
+
+    The warm start sits at the Lz=0 ground state, so the escape stage starts
+    with penalty magnitude ``kick * m^2``; the kick must be strong enough to
+    amplify the tiny symmetry-breaking admixture within the stage, but the
+    N=6 sweep measured the 4x kick blowing the parameters up to NaN at m=4
+    (``kick * m^2 = 64``) ~1750 steps into the escape, while m=3 (36) ran
+    stably.  Cap the ground-state penalty magnitude at that largest
+    measured-stable value; the NaN-retry in the driver halves further if a
+    specific run still diverges.
+    """
+    return lz_penalty * min(4.0, 36.0 / max(1, m) ** 2)
+
+
+def stable_lz(k: float, m: int, lz_nominal: float) -> float:
+    """Lz penalty keeping the L^2 selector inside the tunneling window.
+
+    Tunneling from the (L=m, Lz=m) target toward lower-Lz components costs
+    ``lz`` of Lz penalty per unit weight but saves ``~2mk`` of L^2 penalty,
+    so stability needs ``k < 0.8 * lz / (2m)`` (measured at N=4; re-measured
+    at N=6 where k=2.0 at the nominal lz=1 tunneled even with the one-sided
+    floor).  Raising lz instead of clamping k keeps the measured ~30x faster
+    rotation of large k: the Lz penalty is exactly zero at the in-sector
+    target, so a stiff value is unbiased there (and, unlike the escape kick,
+    it acts on a state already sitting at Lz ~ m, so its gradient is small).
+    """
+    if not k or m <= 0:
+        return lz_nominal
+    return max(lz_nominal, 3.0 * k * m)
+
+
 def plan_phases(
     level: int, l2_penalty: float, lz_penalty: float,
-    base_step: int, iterations: int, one_sided: bool = False,
+    base_step: int, iterations: int, one_sided: bool = False, m: int = 0,
 ) -> list[tuple[float, float, int]]:
     """Stage plan ``[(l2_penalty, lz_penalty, iteration_target), ...]``.
 
@@ -67,25 +108,33 @@ def plan_phases(
     gradient (the local values are constant), and with the two-sided L^2 term
     on from the start the warm-started run never leaves the ground state (the
     penalty deepens the L^2 = 0 basin).  Stage A escapes the Lz=0 sector with
-    a deliberately strong Lz kick — the gradient grows proportionally to the
-    (tiny) symmetry-breaking admixture in the warm start, and at the nominal
-    penalty the instability may not amplify within the stage (observed:
-    identically configured escape runs either left the sector in ~200 steps
-    or sat at the ground for 1500).  Stage B resumes the same run with the
-    L^2 selector on to purify the targeted L = m member.
+    a deliberately strong Lz kick (capped, see ``escape_kick``) — the
+    gradient grows proportionally to the (tiny) symmetry-breaking admixture
+    in the warm start, and at the nominal penalty the instability may not
+    amplify within the stage (observed: identically configured escape runs
+    either left the sector in ~200 steps or sat at the ground for 1500).
+    Stage B resumes the same run with the L^2 selector on to purify the
+    targeted L = m member, with the Lz penalty raised to keep the selector
+    inside the tunneling stability window (see ``stable_lz``).
 
     ``one_sided`` (the ``system.l2_center`` floor ``k * relu(<L^2> - c)``):
     the selector stays on during the escape too — below the floor it has
     zero gradient, so it cannot deepen the ground basin, while it suppresses
     the measured escape overshoot into high-L mixtures (the N=6 sweep's 4x
     kick left sector 3 at <L^2> ~ 50 vs the target 12, leaving the whole
-    rotation to the purify stage).
+    rotation to the purify stage).  During the escape the selector strength
+    is clamped to the kick's own stability window instead (the stiff-lz
+    trick does not apply mid-transit, where the Lz penalty is live).
     """
     if level == 0 and l2_penalty:
+        kick = escape_kick(lz_penalty, m)
+        k_escape = min(l2_penalty, 0.8 * kick / (2.0 * max(1, m)))
         return [
-            (l2_penalty if one_sided else 0.0, 4.0 * lz_penalty,
+            (k_escape if one_sided else 0.0, kick,
              base_step + iterations // 2),
-            (l2_penalty, lz_penalty, base_step + iterations),
+            (l2_penalty,
+             stable_lz(l2_penalty, m, lz_penalty) if one_sided else lz_penalty,
+             base_step + iterations),
         ]
     return [(0.0, lz_penalty, base_step + iterations)]
 
@@ -215,12 +264,13 @@ def main(argv: list[str] | None = None) -> None:
         help="L^2 selector form. 'onesided' (default) floors the penalty at "
         "the target multiplet via system.l2_center = m(m+1): inside the "
         "Lz = m sector every state has L >= m, so the gated penalty equals "
-        "the unbiased linear selector, while the cross-sector tunneling "
-        "direction (the instability that capped k) has zero gradient — k "
-        "needs no clamp, and the selector stays on during the escape stage "
-        "(zero at the ground, suppresses the high-L overshoot). 'window' is "
-        "the legacy two-sided selector with the k < 0.8*lz_penalty/(2m) "
-        "stability clamp.",
+        "the unbiased linear selector and vanishes exactly at the target, "
+        "and it stays on during the escape stage (zero at the ground, "
+        "suppresses the high-L overshoot). The tunneling window still binds "
+        "while <L^2> sits above the floor (measured: k=2.0 at m=2 drifted "
+        "Lz 2 -> 1.31), so the purify stage raises the Lz penalty to 3*k*m "
+        "to keep the requested k stable (see stable_lz). 'window' is the "
+        "legacy two-sided selector with the k < 0.8*lz_penalty/(2m) clamp.",
     )
     parser.add_argument(
         "--l2-penalty", type=float, default=None,
@@ -228,7 +278,8 @@ def main(argv: list[str] | None = None) -> None:
         "the sector's minimum-L^2 state, and a linear combination E + k<L^2> "
         "is extremal on an eigenstate (vertex of the convex hull), so the "
         "measured energy stays unbiased. Default 1.0 for --selector "
-        "onesided (no stability ceiling), 0.1 for the two-sided window "
+        "onesided (stabilized by the purify-stage Lz scaling, stable_lz), "
+        "0.1 for the two-sided window "
         "(measured at N=4: k must exceed gap/within-sector-L^2-spacing to "
         "purify, but stay BELOW lz_penalty/(2 m) or the L^2 term overwhelms "
         "the Lz mismatch and the run escapes into a lower-L sector — k=0.5 "
@@ -278,6 +329,28 @@ def main(argv: list[str] | None = None) -> None:
 
     def checkpoint_step(path: str) -> int:
         return int(np.load(path, allow_pickle=True)["step"]) + 1
+
+    def drop_nonfinite_checkpoints(run_dir: Path) -> int:
+        """Delete trailing checkpoints whose params are non-finite.
+
+        The NaN abort path saves the blown-up state *before* raising
+        (train.py), so a retry that resumed the newest checkpoint would
+        restart inside the NaN; scan newest-first and stop at the first
+        finite checkpoint.  Returns the number of checkpoints dropped (zero
+        distinguishes a graceful SIGTERM abort from a NaN abort).
+        """
+        import jax
+
+        dropped = 0
+        for path in sorted(run_dir.glob("ckpt_*.npz"), reverse=True):
+            with np.load(path, allow_pickle=True) as f:
+                leaves = jax.tree_util.tree_leaves(f["params"].tolist())
+            if all(np.isfinite(np.asarray(leaf)).all() for leaf in leaves):
+                break
+            print(f"    dropping non-finite checkpoint {path}", flush=True)
+            path.unlink()
+            dropped += 1
+        return dropped
 
     def ed_sector_target(cfg, m: int, max_dim: int = 20000):
         """Exact ``L = m`` member of the ``Lz = m`` block, where ED is feasible.
@@ -332,8 +405,8 @@ def main(argv: list[str] | None = None) -> None:
         # costs lz_penalty but saves 2*m*k of L^2 penalty, so k must stay
         # below lz_penalty/(2m); with one global k the upper edge binds at
         # the OUTERMOST sector (0.1 would already tunnel at m >= 5).  The
-        # one-sided floor has zero gradient in the tunneling direction, so
-        # no clamp applies.
+        # one-sided floor keeps the full k by raising the purify-stage Lz
+        # penalty instead (stable_lz, inside plan_phases).
         l2_penalty = args.l2_penalty
         k_bound = float("inf")
         if l2_penalty and m > 0 and not one_sided:
@@ -364,7 +437,7 @@ def main(argv: list[str] | None = None) -> None:
             base_step = checkpoint_step(restore) if restore else 0
             phases = plan_phases(
                 level, l2_penalty, args.lz_penalty, base_step,
-                args.iterations, one_sided=one_sided,
+                args.iterations, one_sided=one_sided, m=m,
             )
             # A prior launch may have trained part of this sector: resume the
             # run's own checkpoints (an explicit restore_path would rewind to
@@ -376,14 +449,59 @@ def main(argv: list[str] | None = None) -> None:
                 print(f"    resuming own run at step {resume_step}", flush=True)
             print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
 
-            def run_phase(cfg_overrides: dict):
-                merged = merge_dicts(merge_dicts(dict(base), cfg_overrides),
-                                     dotlist_to_dict(args.dotlist))
-                cfg = Config.from_dict(merged)
-                train(cfg)
-                return cfg
+            def run_phase(cfg_overrides: dict, retries: int = 2):
+                """One train() phase, riding out NaN aborts.
+
+                Measured in the N=6 sweep: the 4x escape kick at m=4 blew the
+                parameters up to NaN ~1750 steps in, and train()'s SystemExit
+                abort killed the remaining sectors of the sweep.  On a NaN
+                abort (identified by a non-finite newest checkpoint — a
+                graceful SIGTERM abort saves a finite one and must still
+                stop the driver), drop the poisoned checkpoints, halve both
+                penalty scalars (stiffness is what diverged), and resume the
+                run's own last finite checkpoint (or the original warm start
+                if none survived).
+                """
+                for attempt in range(retries + 1):
+                    merged = merge_dicts(
+                        merge_dicts(dict(base), cfg_overrides),
+                        dotlist_to_dict(args.dotlist),
+                    )
+                    cfg = Config.from_dict(merged)
+                    try:
+                        train(cfg)
+                        return cfg
+                    except SystemExit as err:
+                        if not drop_nonfinite_checkpoints(run_dir):
+                            raise  # graceful shutdown, not a NaN abort
+                        if attempt >= retries:
+                            raise RuntimeError(
+                                f"phase still NaN after {retries} retries"
+                            ) from err
+                        system = dict(cfg_overrides.get("system", {}))
+                        system["lz_penalty"] = system.get("lz_penalty", 0) / 2
+                        system["l2_penalty"] = system.get("l2_penalty", 0) / 2
+                        cfg_overrides = {**cfg_overrides, "system": system}
+                        # Resume the run's own last finite checkpoint; if the
+                        # drop removed them all, fall back to the sector's
+                        # warm start (restore_path=None would train a fresh
+                        # random init against the full penalties).
+                        cfg_overrides["log"] = {
+                            **cfg_overrides.get("log", {}),
+                            "restore_path": (
+                                None if sorted(run_dir.glob("ckpt_*.npz"))
+                                else restore
+                            ),
+                        }
+                        print(
+                            f"    NaN abort: retrying with lz_penalty="
+                            f"{system['lz_penalty']}, l2_penalty="
+                            f"{system['l2_penalty']}",
+                            flush=True,
+                        )
 
             cfg = None
+            sector_failed = False
             final_phase_start = base_step
             for phase_index, (l2_value, lz_value, iteration_target) in enumerate(
                 phases
@@ -402,7 +520,15 @@ def main(argv: list[str] | None = None) -> None:
                     final_phase_start = phases[phase_index - 1][2]
                 if resume_step is not None and iteration_target <= resume_step:
                     continue  # phase completed before the re-launch
-                cfg = run_phase(overrides)
+                try:
+                    cfg = run_phase(overrides)
+                except RuntimeError as err:  # persistent NaN: skip the sector
+                    print(f"=== sector Lz={m} state {level} FAILED: {err}",
+                          flush=True)
+                    sector_failed = True
+                    break
+            if sector_failed:
+                break  # abandon this sector's chain; continue the sweep
             if cfg is None:  # all planned phases predate the resume point
                 merged = merge_dicts(merge_dicts(dict(base), overrides),
                                      dotlist_to_dict(args.dotlist))
@@ -443,15 +569,23 @@ def main(argv: list[str] | None = None) -> None:
                         f"to step {cur_target} (k = {cur_k:.4f})",
                         flush=True,
                     )
-                    cfg = run_phase(phase_overrides(
-                        base_seed=int(base.get("seed", 1)), m=m, level=level,
-                        phase_index=len(phases) + extension,
-                        l2_value=cur_k, lz_value=args.lz_penalty,
-                        iteration_target=cur_target, run_dir=str(run_dir),
-                        restore=None, orthogonal=anchor + previous,
-                        overlap_penalty=args.overlap_penalty,
-                        l2_center=l2_center,
-                    ))
+                    try:
+                        cfg = run_phase(phase_overrides(
+                            base_seed=int(base.get("seed", 1)), m=m,
+                            level=level,
+                            phase_index=len(phases) + extension,
+                            l2_value=cur_k,
+                            lz_value=(stable_lz(cur_k, m, args.lz_penalty)
+                                      if one_sided else args.lz_penalty),
+                            iteration_target=cur_target, run_dir=str(run_dir),
+                            restore=None, orthogonal=anchor + previous,
+                            overlap_penalty=args.overlap_penalty,
+                            l2_center=l2_center,
+                        ))
+                    except RuntimeError as err:  # persistent NaN: keep as-is
+                        print(f"    extension FAILED ({err}); accepting the "
+                              f"sector at its current purity", flush=True)
+                        break
 
             ckpts = sorted(run_dir.glob("ckpt_*.npz"))
             previous = [*previous, str(ckpts[-1])]

@@ -393,13 +393,79 @@ def test_rail_extends_from_resumed_step_beyond_plan(tmp_path, monkeypatch):
     assert seen[0].log.restore_path is None
 
 
+def test_nan_abort_retry_and_sector_isolation(tmp_path, monkeypatch):
+    """NaN aborts retry with halved penalties; a persistent one skips the sector.
+
+    Measured in the N=6 sweep: the 4x escape kick at m=4 diverged to NaN,
+    train() saved the blown-up state and raised SystemExit, and the abort
+    killed sectors 5/6 of the sweep. The driver must drop the poisoned
+    checkpoint, halve both penalty scalars, and resume; a sector that keeps
+    diverging is abandoned without killing the sweep.
+    """
+    base_cfg = Config()
+    base_cfg.system.flux = 15
+    base_cfg.system.nspins = (6, 0)
+    config_yml = tmp_path / "config.yml"
+    config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
+
+    good = np.array({"w": np.array([1.0])}, dtype=object)
+    bad = np.array({"w": np.array([np.nan])}, dtype=object)
+    seen: list[Config] = []
+
+    def fake_train(cfg: Config):
+        seen.append(cfg)
+        run_dir = Path(cfg.log.save_path)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        if "sector_4" in cfg.log.save_path:
+            # Every sector-4 attempt diverges: NaN state saved, then abort.
+            np.savez(run_dir / f"ckpt_{60 + len(seen):06d}.npz",
+                     step=60 + len(seen), params=bad)
+            raise SystemExit("=" * 30 + " ABORT " + "=" * 30)
+        _fake_stats(run_dir / "train_stats.csv", energy=7.0,
+                    last_step=cfg.optim.iterations, l_square=30.0)
+        np.savez(run_dir / f"ckpt_{cfg.optim.iterations - 1:06d}.npz",
+                 step=cfg.optim.iterations - 1, params=good)
+
+    import importlib
+
+    train_module = importlib.import_module("deephall_tpu.train")
+    monkeypatch.setattr(train_module, "train", fake_train)
+
+    ground = tmp_path / "ground_ckpt_000049.npz"
+    np.savez(ground, step=49, params=good)
+    out = tmp_path / "roton"
+    magnetoroton.main([
+        "--config", str(config_yml), "--out", str(out),
+        "--sectors", "4", "5", "--iterations", "100",
+        "--restore", str(ground), "--tail", "5", "--l2-tol", "0",
+    ])
+
+    s4 = [c for c in seen if "sector_4" in c.log.save_path]
+    s5 = [c for c in seen if "sector_5" in c.log.save_path]
+    # Three sector-4 attempts (escape + 2 retries), kick halved each time
+    # from the capped escape_kick(1, 4) = 36/16.
+    assert [c.system.lz_penalty for c in s4] == [2.25, 1.125, 0.5625]
+    # Poisoned checkpoints were dropped each time; the retries re-restore
+    # the ground warm start rather than resuming a NaN state.
+    assert all(c.log.restore_path == str(ground) for c in s4)
+    assert not list((out / "sector_4").glob("ckpt_*.npz"))
+    # The sweep continued: sector 5 ran (escape + purify) and landed a row.
+    assert len(s5) == 2
+    with open(out / "dispersion.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert [(r["sector"], r["level"]) for r in rows] == [("5", "0")]
+
+
 def test_onesided_selector_plan(tmp_path, monkeypatch):
-    """Default selector: floored L^2 penalty, on during escape, no clamp.
+    """Default selector: floored L^2 penalty, on during escape, stiff-lz purify.
 
     At m=5 the two-sided window would clamp k to 0.8/(2*5) = 0.08; the
-    one-sided floor (l2_center = 30) has zero gradient in the tunneling
-    direction, so the full k rides through every stage and the rail
-    escalation is unclamped.
+    one-sided floor (l2_center = 30) keeps the full k through the purify and
+    rail stages by raising the Lz penalty to 3*k*m (unbiased at the in-sector
+    target, where the Lz penalty vanishes exactly — measured: clamping k
+    instead rotates ~30x slower, and the bare floor at nominal lz tunneled).
+    The escape kick is capped so kick * m^2 <= 36 (m=4 at 64 measured NaN),
+    and the escape-stage selector is clamped to the kick's own window.
     """
     base_cfg = Config()
     base_cfg.system.flux = 15
@@ -436,17 +502,23 @@ def test_onesided_selector_plan(tmp_path, monkeypatch):
 
     assert len(seen) == 4
     escape, purify, ext1, ext2 = seen
-    # The selector rides through the escape stage (gated off at the ground).
-    assert escape.system.l2_penalty == 1.0
+    # Escape kick capped at kick * m^2 = 36: 36/25 at m=5; the selector rides
+    # through the escape (gated off at the ground) clamped to the kick's
+    # stability window 0.8 * kick / (2m).
+    assert abs(escape.system.lz_penalty - 36.0 / 25.0) < 1e-12
+    assert abs(escape.system.l2_penalty - 0.8 * (36.0 / 25.0) / 10.0) < 1e-12
     assert escape.system.l2_center == 30.0
-    assert escape.system.lz_penalty == 4.0
-    # No stability clamp: the full default k survives at the outer sector.
+    # The full default k survives at the outer sector, stabilized by the
+    # stiff purify-stage Lz penalty 3*k*m = 15.
     assert purify.system.l2_penalty == 1.0
     assert purify.system.l2_center == 30.0
-    assert purify.system.lz_penalty == 1.0
-    # Rail escalation is unclamped from the second extension on.
+    assert purify.system.lz_penalty == 15.0
+    # Rail escalation is unclamped from the second extension on, with the
+    # Lz penalty scaled alongside (3 * 1.5 * 5 = 22.5).
     assert ext1.system.l2_penalty == 1.0
+    assert ext1.system.lz_penalty == 15.0
     assert ext2.system.l2_penalty == 1.5
+    assert ext2.system.lz_penalty == 22.5
     assert ext2.system.l2_center == 30.0
 
     with open(out / "dispersion.csv") as f:
