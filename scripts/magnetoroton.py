@@ -31,7 +31,12 @@ stability window therefore binds in both modes; the driver keeps the
 requested ``k`` inside it by raising the purify-stage Lz penalty to
 ``3 k m`` (unbiased: the Lz penalty is exactly zero at the in-sector
 target) instead of clamping ``k`` down (measured 30x slower rotation at the
-window-clamped k).  Measured on CPU at
+window-clamped k).  Stiff stages only *transit*, though — they dominate the
+KFAC geometry and the energy does not converge under them (measured: rows
+taken in the stiff stage sat 0.4-0.8 above the exact sector energies with
+variance ~1), so every sector ends in a gentle ``settle`` stage
+(``settle_k``: window-clamped selector at the nominal Lz penalty) that the
+dispersion row is measured on.  Measured on CPU at
 N=4 (BASELINE.md): without the ``L^2`` term a sector run may land on a
 *different branch member* (Lz=3 found the L=4 state) or a slowly-converging
 mixture; with it, each sector converges to its ``L = m`` state.  ``--chain``
@@ -97,46 +102,76 @@ def stable_lz(k: float, m: int, lz_nominal: float) -> float:
     return max(lz_nominal, 3.0 * k * m)
 
 
+def settle_k(l2_penalty: float, m: int, lz_nominal: float) -> float:
+    """Settle-stage selector strength: window-clamped at the *nominal* lz.
+
+    Stiff penalties rotate the state into the sector fast, but they dominate
+    the KFAC geometry and the energy never converges — measured in the N=6
+    sweep, where the stiff purify stages (k up to 2.25, lz = 3km up to 13.5)
+    left sector 2 at E = 7.780(2) with variance 1.1 and sector 3 at
+    E = 7.407(2) with variance 0.74, versus their exact targets 7.0033 /
+    6.9706 (the earlier *gentle* pass had E = 7.134 / 7.030 with variance
+    0.3 / 0.13: stiffness made purity slightly better and the energy far
+    worse).  The dispersion row must therefore come from a final settle
+    stage at the nominal Lz penalty, with the selector clamped inside the
+    tunneling window ``k < 0.8 * lz / (2m)`` — a gentle linear objective is
+    still extremal on the target eigenstate (unbiased), it merely rotates
+    slowly, which the settle stage does not need to do.
+    """
+    if not l2_penalty or m <= 0:
+        return l2_penalty
+    return min(l2_penalty, 0.8 * lz_nominal / (2.0 * m))
+
+
 def plan_phases(
     level: int, l2_penalty: float, lz_penalty: float,
     base_step: int, iterations: int, one_sided: bool = False, m: int = 0,
-) -> list[tuple[float, float, int]]:
-    """Stage plan ``[(l2_penalty, lz_penalty, iteration_target), ...]``.
+) -> list[tuple[float, float, int, str]]:
+    """Stage plan ``[(l2_penalty, lz_penalty, iteration_target, kind), ...]``.
 
-    Two stages for the L^2-selected first state (measured necessary at N=4):
-    a symmetry eigenstate is a stationary point of every penalty's covariance
-    gradient (the local values are constant), and with the two-sided L^2 term
-    on from the start the warm-started run never leaves the ground state (the
-    penalty deepens the L^2 = 0 basin).  Stage A escapes the Lz=0 sector with
-    a deliberately strong Lz kick (capped, see ``escape_kick``) — the
-    gradient grows proportionally to the (tiny) symmetry-breaking admixture
-    in the warm start, and at the nominal penalty the instability may not
-    amplify within the stage (observed: identically configured escape runs
-    either left the sector in ~200 steps or sat at the ground for 1500).
-    Stage B resumes the same run with the L^2 selector on to purify the
-    targeted L = m member, with the Lz penalty raised to keep the selector
-    inside the tunneling stability window (see ``stable_lz``).
+    Three stages for the one-sided L^2-selected first state (each measured
+    necessary in the N=4/N=6 sweeps):
 
-    ``one_sided`` (the ``system.l2_center`` floor ``k * relu(<L^2> - c)``):
-    the selector stays on during the escape too — below the floor it has
-    zero gradient, so it cannot deepen the ground basin, while it suppresses
-    the measured escape overshoot into high-L mixtures (the N=6 sweep's 4x
-    kick left sector 3 at <L^2> ~ 50 vs the target 12, leaving the whole
-    rotation to the purify stage).  During the escape the selector strength
-    is clamped to the kick's own stability window instead (the stiff-lz
-    trick does not apply mid-transit, where the Lz penalty is live).
+    * ``escape`` — a symmetry eigenstate is a stationary point of every
+      penalty's covariance gradient (the local values are constant), so the
+      warm-started run leaves the Lz=0 ground state only via a deliberately
+      strong Lz kick (capped, see ``escape_kick``); the one-sided selector
+      rides along gated off at the ground (zero below the floor) to suppress
+      the measured high-L overshoot, clamped to the kick's own stability
+      window.
+    * ``purify`` — the L^2 selector at full strength rotates the state onto
+      the targeted L = m member, with the Lz penalty raised to keep the
+      selector inside the tunneling stability window (see ``stable_lz``).
+      Stiff penalties rotate ~30x faster than window-clamped ones, but they
+      dominate the KFAC geometry: the energy does NOT converge here.
+    * ``settle`` — the dispersion point is measured under the *nominal* Lz
+      penalty with the selector clamped into the tunneling window
+      (``settle_k``): unbiased at the target eigenstate (every penalty term
+      vanishes there exactly) and gentle enough for the energy to converge.
+      Measured in the N=6 sweep: rows taken from the stiff purify stage were
+      0.4-0.8 too high with variance ~1 (see ``settle_k``).
+
+    The legacy two-sided window selector keeps its original two-stage plan
+    (escape, then a window-clamped purify): its purify stage is already
+    gentle, so it doubles as the settle stage.
     """
     if level == 0 and l2_penalty:
         kick = escape_kick(lz_penalty, m)
         k_escape = min(l2_penalty, 0.8 * kick / (2.0 * max(1, m)))
+        if not one_sided:
+            return [
+                (0.0, kick, base_step + iterations // 2, "escape"),
+                (l2_penalty, lz_penalty, base_step + iterations, "settle"),
+            ]
         return [
-            (k_escape if one_sided else 0.0, kick,
-             base_step + iterations // 2),
-            (l2_penalty,
-             stable_lz(l2_penalty, m, lz_penalty) if one_sided else lz_penalty,
-             base_step + iterations),
+            (k_escape, kick,
+             base_step + max(1, int(0.3 * iterations)), "escape"),
+            (l2_penalty, stable_lz(l2_penalty, m, lz_penalty),
+             base_step + max(2, int(0.6 * iterations)), "purify"),
+            (settle_k(l2_penalty, m, lz_penalty), lz_penalty,
+             base_step + iterations, "settle"),
         ]
-    return [(0.0, lz_penalty, base_step + iterations)]
+    return [(0.0, lz_penalty, base_step + iterations, "settle")]
 
 
 def phase_overrides(
@@ -439,14 +474,27 @@ def main(argv: list[str] | None = None) -> None:
                 level, l2_penalty, args.lz_penalty, base_step,
                 args.iterations, one_sided=one_sided, m=m,
             )
+            settle_len = phases[-1][2] - (
+                phases[-2][2] if len(phases) > 1 else base_step
+            )
             # A prior launch may have trained part of this sector: resume the
             # run's own checkpoints (an explicit restore_path would rewind to
             # the ground and append escape-phase rows) and skip phases whose
-            # iteration target was already reached.
+            # iteration target was already reached.  A resume point beyond the
+            # whole plan (a re-launch with a smaller --iterations, or a prior
+            # launch's rail extensions) gets a fresh settle leg: the restored
+            # state has been through escape/purify already, and the dispersion
+            # row must come from gentle-penalty rows trained at this HEAD.
             existing = sorted(run_dir.glob("ckpt_*.npz"))
             resume_step = checkpoint_step(str(existing[-1])) if existing else None
             if resume_step is not None:
                 print(f"    resuming own run at step {resume_step}", flush=True)
+                remaining = [p for p in phases if p[2] > resume_step]
+                if not remaining:
+                    settle = phases[-1]
+                    remaining = [(settle[0], settle[1],
+                                  resume_step + settle_len, "settle")]
+                phases = remaining
             print(f"=== sector Lz={m} state {level} -> {run_dir}", flush=True)
 
             def run_phase(cfg_overrides: dict, retries: int = 2):
@@ -502,9 +550,10 @@ def main(argv: list[str] | None = None) -> None:
 
             cfg = None
             sector_failed = False
-            final_phase_start = base_step
-            for phase_index, (l2_value, lz_value, iteration_target) in enumerate(
-                phases
+            settle_start = base_step
+            phase_start = resume_step if resume_step is not None else base_step
+            for phase_index, (l2_value, lz_value, iteration_target, kind) in (
+                enumerate(phases)
             ):
                 overrides = phase_overrides(
                     base_seed=int(base.get("seed", 1)), m=m, level=level,
@@ -516,10 +565,9 @@ def main(argv: list[str] | None = None) -> None:
                     overlap_penalty=args.overlap_penalty,
                     l2_center=l2_center if l2_value else 0.0,
                 )
-                if phase_index == len(phases) - 1 and len(phases) > 1:
-                    final_phase_start = phases[phase_index - 1][2]
-                if resume_step is not None and iteration_target <= resume_step:
-                    continue  # phase completed before the re-launch
+                if kind == "settle":
+                    settle_start = phase_start
+                phase_start = iteration_target
                 try:
                     cfg = run_phase(overrides)
                 except RuntimeError as err:  # persistent NaN: skip the sector
@@ -529,74 +577,102 @@ def main(argv: list[str] | None = None) -> None:
                     break
             if sector_failed:
                 break  # abandon this sector's chain; continue the sweep
-            if cfg is None:  # all planned phases predate the resume point
-                merged = merge_dicts(merge_dicts(dict(base), overrides),
-                                     dotlist_to_dict(args.dotlist))
-                cfg = Config.from_dict(merged)
 
-            # L^2-purity convergence rail (level-0 selector runs): the purify
-            # stage must actually reach the L = m multiplet — a fixed budget
+            # L^2-purity convergence rail (level-0 selector runs): the settle
+            # stage must actually sit in the L = m multiplet — a fixed budget
             # measured 5% impurity at N=4 sector 2, biasing the energy ~1 mHa.
-            # Extend with the selector on until |<L^2> - m(m+1)| <= tol, up to
-            # --max-extend extensions; from the second extension the selector
-            # is strengthened 1.5x (clamped inside the stability window).
-            # A resumed run may already sit beyond the planned final target
-            # (a re-launch with a smaller --iterations over an extended run);
-            # extensions must build on the restored step or their train()
-            # calls are no-ops below the checkpoint's iteration counter.
-            cur_target = max(phases[-1][2], resume_step or 0)
-            cur_k = l2_penalty
+            # Each extension is a capped stiff purify *burst* (fast rotation)
+            # followed by a fresh settle leg the row is re-measured on: the
+            # N=6 sweep measured that escalating the stiff selector unboundedly
+            # (k up to 2.25, lz to 13.5) wrecks the energy (see settle_k), so
+            # bursts escalate 1.5x but cap at 2x the nominal selector, and the
+            # measurement never includes burst rows.
+            cur_target = phases[-1][2]
             stats_csv = run_dir / "train_stats.csv"
             if level == 0 and l2_penalty and args.l2_tol > 0:
                 target_l2 = m * (m + 1)
+                k_gentle = (settle_k(l2_penalty, m, args.lz_penalty)
+                            if one_sided else l2_penalty)
                 for extension in range(args.max_extend):
                     stats = tail_stats(
                         stats_csv,
-                        min(args.tail, max(1, cur_target - final_phase_start)),
-                        min_step=final_phase_start,
+                        min(args.tail, max(1, cur_target - settle_start)),
+                        min_step=settle_start,
                     )
                     impurity = abs(stats["L_square"] - target_l2)
                     if impurity <= args.l2_tol:
                         break
-                    if extension >= 1:
-                        cur_k = min(cur_k * 1.5, k_bound)
-                    ext_len = max(1, args.iterations // 4)
-                    final_phase_start = cur_target
-                    cur_target += ext_len
-                    print(
-                        f"    L^2 = {stats['L_square']:.3f} vs exact "
-                        f"{target_l2} (> tol {args.l2_tol}): extending purify "
-                        f"to step {cur_target} (k = {cur_k:.4f})",
-                        flush=True,
-                    )
-                    try:
-                        cfg = run_phase(phase_overrides(
-                            base_seed=int(base.get("seed", 1)), m=m,
-                            level=level,
-                            phase_index=len(phases) + extension,
-                            l2_value=cur_k,
-                            lz_value=(stable_lz(cur_k, m, args.lz_penalty)
-                                      if one_sided else args.lz_penalty),
-                            iteration_target=cur_target, run_dir=str(run_dir),
-                            restore=None, orthogonal=anchor + previous,
-                            overlap_penalty=args.overlap_penalty,
-                            l2_center=l2_center,
-                        ))
-                    except RuntimeError as err:  # persistent NaN: keep as-is
-                        print(f"    extension FAILED ({err}); accepting the "
-                              f"sector at its current purity", flush=True)
+                    if one_sided:
+                        cur_k = min(l2_penalty * 1.5**extension,
+                                    2.0 * l2_penalty)
+                        burst_len = max(1, args.iterations // 8)
+                        settle_ext = max(1, args.iterations // 4)
+                        print(
+                            f"    L^2 = {stats['L_square']:.3f} vs exact "
+                            f"{target_l2} (> tol {args.l2_tol}): purify burst "
+                            f"to step {cur_target + burst_len} (k = "
+                            f"{cur_k:.4f}), then settle to step "
+                            f"{cur_target + burst_len + settle_ext}",
+                            flush=True,
+                        )
+                        legs = [
+                            (cur_k, stable_lz(cur_k, m, args.lz_penalty),
+                             cur_target + burst_len),
+                            (k_gentle, args.lz_penalty,
+                             cur_target + burst_len + settle_ext),
+                        ]
+                        settle_start = cur_target + burst_len
+                    else:
+                        cur_k = min(k_gentle * 1.5**extension, k_bound)
+                        settle_ext = max(1, args.iterations // 4)
+                        print(
+                            f"    L^2 = {stats['L_square']:.3f} vs exact "
+                            f"{target_l2} (> tol {args.l2_tol}): extending "
+                            f"purify to step {cur_target + settle_ext} "
+                            f"(k = {cur_k:.4f})",
+                            flush=True,
+                        )
+                        legs = [(cur_k, args.lz_penalty,
+                                 cur_target + settle_ext)]
+                        settle_start = cur_target
+                    failed = False
+                    for leg_index, (leg_k, leg_lz, leg_target) in (
+                        enumerate(legs)
+                    ):
+                        try:
+                            cfg = run_phase(phase_overrides(
+                                base_seed=int(base.get("seed", 1)), m=m,
+                                level=level,
+                                phase_index=len(phases) + 2 * extension
+                                + leg_index + 1,
+                                l2_value=leg_k, lz_value=leg_lz,
+                                iteration_target=leg_target,
+                                run_dir=str(run_dir),
+                                restore=None, orthogonal=anchor + previous,
+                                overlap_penalty=args.overlap_penalty,
+                                l2_center=l2_center,
+                            ))
+                        except RuntimeError as err:  # persistent NaN
+                            print(f"    extension FAILED ({err}); accepting "
+                                  f"the sector at its current purity",
+                                  flush=True)
+                            failed = True
+                            break
+                        cur_target = leg_target
+                    if failed:
                         break
 
             ckpts = sorted(run_dir.glob("ckpt_*.npz"))
             previous = [*previous, str(ckpts[-1])]
             # StatsWriter appends across phases and launches; slice the tail
-            # by step number so escape-phase rows (4x Lz kick, no selector)
-            # are never averaged into the dispersion point.
+            # by step number so escape/purify rows (Lz kick, stiff selector)
+            # are never averaged into the dispersion point — only the final
+            # settle leg's gentle-penalty rows measure the sector energy.
             row = {"sector": m, "level": level,
                    **tail_stats(
                        stats_csv,
-                       min(args.tail, max(1, cur_target - final_phase_start)),
-                       min_step=final_phase_start,
+                       min(args.tail, max(1, cur_target - settle_start)),
+                       min_step=settle_start,
                    )}
             if level == 0 and l2_penalty:
                 # Exact anchor for the L = m member (small/medium blocks).

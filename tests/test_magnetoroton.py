@@ -234,11 +234,14 @@ def test_relaunch_resumes_own_run_and_skips_done(tmp_path, monkeypatch):
         "--sectors", "2", "--iterations", "100",
         "--restore", str(ground), "--tail", "5", "--l2-tol", "0",
     ])
-    # Only the unfinished purify phase runs, resuming the run's own ckpts.
+    # Escape (target 80) and purify (target 110) predate the resume point
+    # (step 121); only the settle phase runs, resuming the run's own ckpts
+    # at the gentle window-clamped selector (0.8 * 1.0 / (2*2) = 0.2).
     assert len(seen) == 1
     assert seen[0].log.restore_path is None
     assert seen[0].optim.iterations == 150
-    assert seen[0].system.l2_penalty == 1.0  # onesided default, unclamped
+    assert seen[0].system.l2_penalty == 0.2
+    assert seen[0].system.lz_penalty == 1.0
     assert seen[0].system.l2_center == 6.0  # floored at the L=2 multiplet
 
     # Second re-launch: the sector row is already in dispersion.csv -> no-op.
@@ -386,10 +389,13 @@ def test_rail_extends_from_resumed_step_beyond_plan(tmp_path, monkeypatch):
         "--restore", str(ground), "--tail", "5",
     ])
 
-    # All planned phases predate the resume; exactly one extension trains,
-    # targeted past the resumed step (400 + 100//4), and its tail converges.
+    # All planned phases predate the resume; a fresh settle leg trains from
+    # the resume point (400 + the plan's settle length 40) at the gentle
+    # window-clamped selector, and its converged tail lands the row.
     assert len(seen) == 1
-    assert seen[0].optim.iterations == 400 + 25
+    assert seen[0].optim.iterations == 400 + 40
+    assert seen[0].system.l2_penalty == 0.2  # settle_k(1.0, m=2, lz=1.0)
+    assert seen[0].system.lz_penalty == 1.0
     assert seen[0].log.restore_path is None
 
 
@@ -449,23 +455,26 @@ def test_nan_abort_retry_and_sector_isolation(tmp_path, monkeypatch):
     # the ground warm start rather than resuming a NaN state.
     assert all(c.log.restore_path == str(ground) for c in s4)
     assert not list((out / "sector_4").glob("ckpt_*.npz"))
-    # The sweep continued: sector 5 ran (escape + purify) and landed a row.
-    assert len(s5) == 2
+    # The sweep continued: sector 5 ran (escape + purify + settle), row landed.
+    assert len(s5) == 3
     with open(out / "dispersion.csv") as f:
         rows = list(csv.DictReader(f))
     assert [(r["sector"], r["level"]) for r in rows] == [("5", "0")]
 
 
 def test_onesided_selector_plan(tmp_path, monkeypatch):
-    """Default selector: floored L^2 penalty, on during escape, stiff-lz purify.
+    """Default selector: escape kick, stiff-lz purify, gentle settle, bursts.
 
     At m=5 the two-sided window would clamp k to 0.8/(2*5) = 0.08; the
-    one-sided floor (l2_center = 30) keeps the full k through the purify and
-    rail stages by raising the Lz penalty to 3*k*m (unbiased at the in-sector
+    one-sided floor (l2_center = 30) keeps the full k through the purify
+    stage by raising the Lz penalty to 3*k*m (unbiased at the in-sector
     target, where the Lz penalty vanishes exactly — measured: clamping k
     instead rotates ~30x slower, and the bare floor at nominal lz tunneled).
     The escape kick is capped so kick * m^2 <= 36 (m=4 at 64 measured NaN),
-    and the escape-stage selector is clamped to the kick's own window.
+    and the escape-stage selector is clamped to the kick's own window.  The
+    dispersion row comes from the final *settle* stage (window-clamped k at
+    the nominal lz — stiff stages wreck the energy, measured in the N=6
+    sweep), and rail extensions are capped purify bursts + settle re-legs.
     """
     base_cfg = Config()
     base_cfg.system.flux = 15
@@ -473,7 +482,8 @@ def test_onesided_selector_plan(tmp_path, monkeypatch):
     config_yml = tmp_path / "config.yml"
     config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
 
-    l_squares = [40.0, 31.0, 30.6, 30.01]
+    # escape, purify, settle (impure), rail burst, rail settle (converged)
+    l_squares = [40.0, 31.0, 30.6, 30.2, 30.01]
     seen: list[Config] = []
 
     def fake_train(cfg: Config):
@@ -500,27 +510,36 @@ def test_onesided_selector_plan(tmp_path, monkeypatch):
         "--restore", str(ground), "--tail", "5",
     ])
 
-    assert len(seen) == 4
-    escape, purify, ext1, ext2 = seen
+    assert len(seen) == 5
+    escape, purify, settle, burst, resettle = seen
     # Escape kick capped at kick * m^2 = 36: 36/25 at m=5; the selector rides
     # through the escape (gated off at the ground) clamped to the kick's
     # stability window 0.8 * kick / (2m).
     assert abs(escape.system.lz_penalty - 36.0 / 25.0) < 1e-12
     assert abs(escape.system.l2_penalty - 0.8 * (36.0 / 25.0) / 10.0) < 1e-12
     assert escape.system.l2_center == 30.0
+    assert escape.optim.iterations == 50 + 30  # 30% of the budget
     # The full default k survives at the outer sector, stabilized by the
     # stiff purify-stage Lz penalty 3*k*m = 15.
     assert purify.system.l2_penalty == 1.0
     assert purify.system.l2_center == 30.0
     assert purify.system.lz_penalty == 15.0
-    # Rail escalation is unclamped from the second extension on, with the
-    # Lz penalty scaled alongside (3 * 1.5 * 5 = 22.5).
-    assert ext1.system.l2_penalty == 1.0
-    assert ext1.system.lz_penalty == 15.0
-    assert ext2.system.l2_penalty == 1.5
-    assert ext2.system.lz_penalty == 22.5
-    assert ext2.system.l2_center == 30.0
+    assert purify.optim.iterations == 50 + 60
+    # The settle stage measures the row: window-clamped selector at the
+    # nominal lz (0.8 * 1.0 / (2*5) = 0.08).
+    assert settle.system.l2_penalty == 0.08
+    assert settle.system.lz_penalty == 1.0
+    assert settle.system.l2_center == 30.0
+    assert settle.optim.iterations == 50 + 100
+    # Impure settle tail -> one capped stiff burst + a fresh settle leg.
+    assert burst.system.l2_penalty == 1.0
+    assert burst.system.lz_penalty == 15.0
+    assert burst.optim.iterations == 150 + 12  # iterations // 8
+    assert resettle.system.l2_penalty == 0.08
+    assert resettle.system.lz_penalty == 1.0
+    assert resettle.optim.iterations == 162 + 25  # iterations // 4
 
     with open(out / "dispersion.csv") as f:
         rows = list(csv.DictReader(f))
+    # The row is the re-settle leg's tail, never burst rows.
     assert len(rows) == 1 and abs(float(rows[0]["L_square"]) - 30.01) < 1e-9
