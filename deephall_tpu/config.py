@@ -226,6 +226,35 @@ class System:
     it.
     """
 
+    l2_adaptive: bool = False
+    """Deviation-proportional ``l2_penalty`` stiffness (selector annealing).
+
+    TPU extension (no reference counterpart).  The constant one-sided selector
+    has a measured stiffness dilemma on the hard magnetoroton sectors, where
+    the targeted ``L = m`` member is NOT the lowest state of its ``Lz = m``
+    window (at N=6 the roton minimum L=4 lies 0.050 below the L=2 member, so
+    energy minimisation drifts UP the ``L^2`` ladder): the window-clamped
+    gentle ``k`` cannot hold the state (sector 2 settle drifted
+    ``<L^2>`` 7.8 -> 8.1 under k=0.2), while a stiff constant ``k`` rotates
+    but dominates the KFAC geometry and the energy never converges (E = 7.78
+    vs exact 7.0033 with variance 1.1 under k up to 2.25).  With
+    ``l2_adaptive`` the effective stiffness self-anneals in-graph each step:
+
+        k_eff = l2_penalty * clip(<L^2>_clipped - l2_center, 0, 1)
+        lz_eff = max(lz_penalty, 3 * lz_center * k_eff)
+
+    — full strength while the state is >= 1 above the target multiplet
+    (purify regime), fading linearly to zero at the target (settle regime,
+    where every penalty term vanishes on the converged eigenstate exactly, so
+    the measured energy stays unbiased).  The ``lz_eff`` raise keeps the
+    instantaneous stiffness inside the cross-sector tunneling window
+    ``k < 0.8 lz / (2m)`` automatically (k_eff = lz_eff/(3m) < 0.4 lz_eff/m),
+    decaying back to the nominal ``lz_penalty`` as the sector purifies.
+    Requires ``compute_l2`` and a nonzero ``l2_center``/``lz_center`` to be
+    meaningful; both statistics read IQR-clipped batch means, so a
+    node-crossing walker cannot spike the stiffness.
+    """
+
     orthogonal_states: tuple[str, ...] = ()
     """Checkpoint paths of converged lower states for excited-state VMC.
 

@@ -134,9 +134,36 @@ def stats_and_clipped_diff(
         )
         mean_observables["overlap"] = overlap
         diff_to_clip += ortho_diff
+    # L^2 selector first: its adaptive effective stiffness feeds the Lz raise.
+    k_eff = None
+    if (dynamic and system.compute_l2) or system.l2_penalty:
+        l2_penalty = penalties["l2_penalty"] if dynamic else system.l2_penalty
+        l2_center = penalties["l2_center"] if dynamic else system.l2_center
+        l2 = other_observables["angular_momentum_square"]
+        clipped_l2 = jnp.nanmean(iqr_clip_real(l2))
+        if system.l2_adaptive:
+            # Deviation-proportional stiffness (config.System.l2_adaptive):
+            # full k while >= 1 above the target multiplet, fading linearly
+            # to zero at it — purify and settle become one self-annealing
+            # stage, unbiased at the converged eigenstate where it vanishes.
+            k_eff = l2_penalty * jnp.clip(clipped_l2 - l2_center, 0.0, 1.0)
+        else:
+            # One-sided selector gate (system.l2_center): the penalty gradient
+            # is k * relu(<L^2> - c) — zero below the floor, the plain linear
+            # pull above it.  c = 0 (the default, and the reference semantics)
+            # leaves the gate always open since <L^2> >= 0.  The gate reads
+            # the clipped batch mean, so one node-crossing walker cannot flip
+            # it.
+            k_eff = l2_penalty * (clipped_l2 > l2_center).astype(l2.real.dtype)
+        diff_to_clip += k_eff * (l2 - clipped_l2)
     if dynamic or system.lz_penalty:
         lz_penalty = penalties["lz_penalty"] if dynamic else system.lz_penalty
         lz_center = penalties["lz_center"] if dynamic else system.lz_center
+        if system.l2_adaptive and k_eff is not None:
+            # Keep the instantaneous selector inside the cross-sector
+            # tunneling window (k < 0.8 lz / 2m) by raising Lz stiffness with
+            # it; unbiased at the in-sector target, where <(Lz - m)^2> = 0.
+            lz_penalty = jnp.maximum(lz_penalty, 3.0 * lz_center * k_eff)
         lz_square = other_observables["angular_momentum_z_square"]
         lz = other_observables["angular_momentum_z"]
         clipped_lz_square = jnp.nanmean(iqr_clip_real(lz_square))
@@ -145,18 +172,6 @@ def stats_and_clipped_diff(
             (lz_square - clipped_lz_square)
             - 2 * lz_center * (lz - clipped_lz)
         )
-    if (dynamic and system.compute_l2) or system.l2_penalty:
-        l2_penalty = penalties["l2_penalty"] if dynamic else system.l2_penalty
-        l2_center = penalties["l2_center"] if dynamic else system.l2_center
-        l2 = other_observables["angular_momentum_square"]
-        clipped_l2 = jnp.nanmean(iqr_clip_real(l2))
-        # One-sided selector gate (system.l2_center): the penalty gradient is
-        # k * relu(<L^2> - c) — zero below the floor, the plain linear pull
-        # above it.  c = 0 (the default, and the reference semantics) leaves
-        # the gate always open since <L^2> >= 0.  The gate reads the clipped
-        # batch mean, so one node-crossing walker cannot flip it.
-        gate = (clipped_l2 > l2_center).astype(l2.real.dtype)
-        diff_to_clip += l2_penalty * gate * (l2 - clipped_l2)
     diff = iqr_clip(diff_to_clip)
 
     variance = jnp.nanmean(el.real**2) - loss.real**2

@@ -126,6 +126,7 @@ def settle_k(l2_penalty: float, m: int, lz_nominal: float) -> float:
 def plan_phases(
     level: int, l2_penalty: float, lz_penalty: float,
     base_step: int, iterations: int, one_sided: bool = False, m: int = 0,
+    adaptive: bool = False,
 ) -> list[tuple[float, float, int, str]]:
     """Stage plan ``[(l2_penalty, lz_penalty, iteration_target, kind), ...]``.
 
@@ -158,6 +159,20 @@ def plan_phases(
     if level == 0 and l2_penalty:
         kick = escape_kick(lz_penalty, m)
         k_escape = min(l2_penalty, 0.8 * kick / (2.0 * max(1, m)))
+        if adaptive:
+            # Two stages only: the in-graph deviation-proportional stiffness
+            # (config.System.l2_adaptive) merges purify and settle into one
+            # self-annealing leg — stiff while far from the target multiplet,
+            # fading to the unbiased gentle regime at it, with the Lz penalty
+            # raised in-graph to track the tunneling window.  The escape leg
+            # clamps the selector to the kick's own stability window so the
+            # in-graph Lz raise (3 m k_eff) cannot exceed ~1.2x the capped
+            # kick mid-escape (kick * m^2 = 64 measured NaN at m=4).
+            return [
+                (k_escape, kick,
+                 base_step + max(1, int(0.3 * iterations)), "escape"),
+                (l2_penalty, lz_penalty, base_step + iterations, "settle"),
+            ]
         if not one_sided:
             return [
                 (0.0, kick, base_step + iterations // 2, "escape"),
@@ -178,7 +193,7 @@ def phase_overrides(
     *, base_seed: int, m: int, level: int, phase_index: int,
     l2_value: float, lz_value: float, iteration_target: int,
     run_dir: str, restore: str | None, orthogonal: list[str],
-    overlap_penalty: float, l2_center: float = 0.0,
+    overlap_penalty: float, l2_center: float = 0.0, l2_adaptive: bool = False,
 ) -> dict:
     """Config overrides for one phase of one sector run.
 
@@ -194,6 +209,7 @@ def phase_overrides(
             "lz_penalty": lz_value,
             "l2_penalty": l2_value,
             "l2_center": l2_center,
+            "l2_adaptive": l2_adaptive,
             "orthogonal_states": orthogonal,
             "overlap_penalty": overlap_penalty,
             # One compiled executable for every sector/phase/extension: the
@@ -295,7 +311,8 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--lz-penalty", type=float, default=1.0)
     parser.add_argument(
-        "--selector", choices=["onesided", "window"], default="onesided",
+        "--selector", choices=["adaptive", "onesided", "window"],
+        default="onesided",
         help="L^2 selector form. 'onesided' (default) floors the penalty at "
         "the target multiplet via system.l2_center = m(m+1): inside the "
         "Lz = m sector every state has L >= m, so the gated penalty equals "
@@ -305,7 +322,15 @@ def main(argv: list[str] | None = None) -> None:
         "while <L^2> sits above the floor (measured: k=2.0 at m=2 drifted "
         "Lz 2 -> 1.31), so the purify stage raises the Lz penalty to 3*k*m "
         "to keep the requested k stable (see stable_lz). 'window' is the "
-        "legacy two-sided selector with the k < 0.8*lz_penalty/(2m) clamp.",
+        "legacy two-sided selector with the k < 0.8*lz_penalty/(2m) clamp. "
+        "'adaptive' (config.System.l2_adaptive) anneals the stiffness "
+        "in-graph each step — k_eff = k * clip(<L^2> - c, 0, 1), Lz penalty "
+        "raised to 3*m*k_eff — merging purify and settle into one "
+        "self-annealing leg; built for the hard sectors whose L = m member "
+        "is NOT the lowest state of its Lz window (N=6 sectors 2/3: a "
+        "constant gentle k measured unable to hold the state against the "
+        "energy drift toward the L=4 roton minimum, a constant stiff k "
+        "measured wrecking the energy).",
     )
     parser.add_argument(
         "--l2-penalty", type=float, default=None,
@@ -431,8 +456,13 @@ def main(argv: list[str] | None = None) -> None:
             done_rows = {(r["sector"], r["level"]) for r in csv.DictReader(f)}
 
     one_sided = args.selector == "onesided"
+    adaptive = args.selector == "adaptive"
     if args.l2_penalty is None:
-        args.l2_penalty = 1.0 if one_sided else 0.1
+        # Adaptive default 2.0: this is the stiffness CAP (reached a full
+        # unit above the target multiplet), and the equilibrium impurity
+        # scales as 1/k — k = 2.0 measured rotating well once the in-graph
+        # Lz raise holds the tunneling window.
+        args.l2_penalty = 2.0 if adaptive else (1.0 if one_sided else 0.1)
 
     for m in args.sectors:
         # Two-sided window only: keep the selector inside its stability
@@ -444,7 +474,7 @@ def main(argv: list[str] | None = None) -> None:
         # penalty instead (stable_lz, inside plan_phases).
         l2_penalty = args.l2_penalty
         k_bound = float("inf")
-        if l2_penalty and m > 0 and not one_sided:
+        if l2_penalty and m > 0 and args.selector == "window":
             k_bound = 0.8 * args.lz_penalty / (2.0 * m)
             if l2_penalty > k_bound:
                 print(
@@ -453,7 +483,9 @@ def main(argv: list[str] | None = None) -> None:
                     flush=True,
                 )
                 l2_penalty = k_bound
-        l2_center = float(m * (m + 1)) if one_sided and l2_penalty else 0.0
+        l2_center = (
+            float(m * (m + 1)) if (one_sided or adaptive) and l2_penalty else 0.0
+        )
         previous: list[str] = []
         for level in range(args.chain + 1):
             name = f"sector_{m}" if level == 0 else f"sector_{m}_state{level}"
@@ -472,7 +504,7 @@ def main(argv: list[str] | None = None) -> None:
             base_step = checkpoint_step(restore) if restore else 0
             phases = plan_phases(
                 level, l2_penalty, args.lz_penalty, base_step,
-                args.iterations, one_sided=one_sided, m=m,
+                args.iterations, one_sided=one_sided, m=m, adaptive=adaptive,
             )
             settle_len = phases[-1][2] - (
                 phases[-2][2] if len(phases) > 1 else base_step
@@ -564,6 +596,7 @@ def main(argv: list[str] | None = None) -> None:
                     orthogonal=anchor + previous,
                     overlap_penalty=args.overlap_penalty,
                     l2_center=l2_center if l2_value else 0.0,
+                    l2_adaptive=adaptive and bool(l2_value),
                 )
                 if kind == "settle":
                     settle_start = phase_start
@@ -623,13 +656,17 @@ def main(argv: list[str] | None = None) -> None:
                         ]
                         settle_start = cur_target + burst_len
                     else:
-                        cur_k = min(k_gentle * 1.5**extension, k_bound)
+                        # Adaptive selector: the stiffness escalation is
+                        # in-graph (k_eff rises with the measured impurity),
+                        # so an extension just trains the same leg longer.
+                        cur_k = (l2_penalty if adaptive
+                                 else min(k_gentle * 1.5**extension, k_bound))
                         settle_ext = max(1, args.iterations // 4)
                         print(
                             f"    L^2 = {stats['L_square']:.3f} vs exact "
                             f"{target_l2} (> tol {args.l2_tol}): extending "
-                            f"purify to step {cur_target + settle_ext} "
-                            f"(k = {cur_k:.4f})",
+                            f"{'settle' if adaptive else 'purify'} to step "
+                            f"{cur_target + settle_ext} (k = {cur_k:.4f})",
                             flush=True,
                         )
                         legs = [(cur_k, args.lz_penalty,
@@ -651,6 +688,7 @@ def main(argv: list[str] | None = None) -> None:
                                 restore=None, orthogonal=anchor + previous,
                                 overlap_penalty=args.overlap_penalty,
                                 l2_center=l2_center,
+                                l2_adaptive=adaptive and bool(leg_k),
                             ))
                         except RuntimeError as err:  # persistent NaN
                             print(f"    extension FAILED ({err}); accepting "

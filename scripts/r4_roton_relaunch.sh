@@ -1,5 +1,5 @@
 #!/bin/bash
-# Round-4 N=6 magnetoroton relaunch on the settle-stage driver (TPU),
+# Round-4 N=6 magnetoroton relaunch on the adaptive-selector driver (TPU),
 # supervised: the sweep driver is resumable by design (done rows skipped,
 # partial sectors resume their own checkpoints, a resume point beyond the
 # plan gets a fresh settle leg), so infra failures the in-process retry
@@ -9,21 +9,33 @@
 # through the stop file, not SIGTERM alone.
 #
 # Warm start: the converged prod_r4 ground state (E = 6.86841(4), BASELINE.md).
-# Sector state on disk (runs/roton13): sectors 2/3 resume at step ~56k (beyond
-# any plan -> fresh settle leg), sector 4 resumes at 30002 (plan targets
-# 24800/29600/36000 -> pure settle leg), sectors 5/6 run the full
-# escape/purify/settle plan from the ground checkpoint.
-# The stiff-stage rows this relaunch replaces are preserved in
-# runs/roton13/dispersion_r4_stiff.csv.
+# Selector: adaptive (config.System.l2_adaptive) — in-graph stiffness
+# k_eff = k * clip(<L^2> - c, 0, 1) with the Lz penalty raised to 3*m*k_eff;
+# chosen after the constant-k stiffness dilemma measured on sectors 2/3
+# (gentle k cannot hold the state against the energy drift toward the L=4
+# roton minimum, stiff k wrecks the energy — PERF_NOTES/BASELINE round 4).
+# Sector order: easy-first (4, 5, 6 are lowest-or-nearly-lowest in their Lz
+# windows), then the hard rows 3 and 2 resume their current states (steps
+# ~56k/58k, beyond any plan -> fresh adaptive settle leg at this HEAD).
+# Earlier stiff/gentle rows are preserved in
+# runs/roton13/dispersion_r4_{initial,stiff}.csv.
 cd "$(dirname "$0")/.." || exit 1
 STOP=/tmp/roton_stop
 rm -f "$STOP"
+# Wall-clock budget (default 5h): the driver's end-of-round bench capture
+# needs the TPU free, so the supervisor stops relaunching near the deadline
+# and timeout's SIGTERM drains the current run through the graceful-shutdown
+# checkpoint path.
+DEADLINE=$(( $(date +%s) + ${ROTON_BUDGET_S:-18000} ))
 for attempt in $(seq 1 24); do
-  python scripts/magnetoroton.py \
+  REMAIN=$(( DEADLINE - $(date +%s) ))
+  [ "$REMAIN" -lt 600 ] && { echo "deadline reached; not relaunching"; break; }
+  timeout -k 120 "$REMAIN" python scripts/magnetoroton.py \
     --config runs/prod_r4/config.yml \
     --restore runs/prod_r4/ckpt_019999.npz \
     --out runs/roton13 \
-    --sectors 2 3 4 5 6 \
+    --sectors 4 5 6 3 2 \
+    --selector adaptive \
     --iterations 16000 \
     --dotlist log.initial_energy=false && break
   [ -f "$STOP" ] && { echo "stop file present; not relaunching"; break; }

@@ -180,6 +180,67 @@ def test_l2_center_one_sided_gate():
     assert jnp.allclose(diff_for(0.5, 1e-3, ops), gated_on, atol=1e-7)
 
 
+def test_l2_adaptive_selector():
+    """Deviation-proportional stiffness: k_eff = k clip(<L^2> - c, 0, 1).
+
+    The adaptive selector (``system.l2_adaptive``) must equal the constant
+    selector evaluated at the corresponding effective stiffness — with the Lz
+    penalty raised in-graph to ``max(lz, 3 lz_center k_eff)`` so the
+    instantaneous selector stays inside the cross-sector tunneling window —
+    and must vanish (fall back to the nominal Lz penalty) at/below the target
+    multiplet.
+    """
+    import dataclasses
+
+    system, model, params, data = _setup()
+    network = model.apply
+
+    def diff_for(adaptive, l2_penalty, l2_center, lz_penalty, penalties=None):
+        sys_i = dataclasses.replace(
+            system, l2_adaptive=adaptive, l2_penalty=l2_penalty,
+            l2_center=l2_center, lz_penalty=lz_penalty, lz_center=2.0,
+        )
+        stats, diff = make_loss_fn(network, sys_i, LossMode.ENERGY_DIFF)(
+            params, data, penalties
+        )
+        return stats, diff
+
+    # The smooth 8-walker batch has no +-100 IQR outliers, so the clipped
+    # batch mean equals the plain nanmean the stats report.
+    stats, _ = diff_for(False, 0.0, 0.0, 0.0)
+    mean_l2 = float(stats["angular_momentum_square"])
+
+    k, lz = 2.0, 0.1
+    # Half a unit above the target: k_eff = k/2, lz_eff = 3 * 2 * k_eff = 6k/2.
+    _, adaptive_half = diff_for(True, k, mean_l2 - 0.5, lz)
+    k_eff = 0.5 * k
+    _, expected_half = diff_for(
+        False, k_eff, 1e-3, max(lz, 3.0 * 2.0 * k_eff)
+    )
+    assert jnp.allclose(adaptive_half, expected_half, atol=1e-6)
+
+    # Far above the target: the deviation clips to 1, full stiffness.
+    _, adaptive_full = diff_for(True, k, mean_l2 - 7.0, lz)
+    _, expected_full = diff_for(False, k, 1e-3, max(lz, 3.0 * 2.0 * k))
+    assert jnp.allclose(adaptive_full, expected_full, atol=1e-6)
+
+    # At/below the target multiplet: the selector vanishes and the Lz penalty
+    # returns to its nominal value — the converged measurement is unbiased.
+    _, adaptive_off = diff_for(True, k, mean_l2 + 1.0, lz)
+    _, expected_off = diff_for(False, 0.0, 0.0, lz)
+    assert jnp.allclose(adaptive_off, expected_off, atol=1e-6)
+
+    # Dynamic-operand parity: traced scalars reproduce the static graph.
+    ops = {
+        "lz_penalty": jnp.float32(lz), "lz_center": jnp.float32(2.0),
+        "l2_penalty": jnp.float32(k),
+        "l2_center": jnp.float32(mean_l2 - 0.5),
+        "overlap_penalty": jnp.float32(0.0),
+    }
+    _, dyn_half = diff_for(True, k, mean_l2 - 0.5, lz, ops)
+    assert jnp.allclose(dyn_half, adaptive_half, atol=1e-6)
+
+
 def test_stats_nan_resistant_observables():
     """One near-pole walker (NaN local L^2) must not NaN the logged step stats.
 

@@ -462,6 +462,78 @@ def test_nan_abort_retry_and_sector_isolation(tmp_path, monkeypatch):
     assert [(r["sector"], r["level"]) for r in rows] == [("5", "0")]
 
 
+def test_adaptive_selector_plan(tmp_path, monkeypatch):
+    """Adaptive selector: escape + ONE self-annealing settle leg, flat extensions.
+
+    The stiffness schedule lives in-graph (config.System.l2_adaptive:
+    k_eff = k * clip(<L^2> - c, 0, 1) with the Lz penalty raised to track the
+    tunneling window), so the driver plans only two stages and rail
+    extensions re-run the same leg longer instead of escalating penalties.
+    The escape leg still clamps the selector to the kick's stability window
+    so the in-graph Lz raise cannot exceed ~1.2x the capped kick mid-escape.
+    """
+    base_cfg = Config()
+    base_cfg.system.flux = 15
+    base_cfg.system.nspins = (6, 0)
+    config_yml = tmp_path / "config.yml"
+    config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
+
+    # escape (ignored), impure settle, converged extension
+    l_squares = [40.0, 6.4, 6.02]
+    seen: list[Config] = []
+
+    def fake_train(cfg: Config):
+        seen.append(cfg)
+        run_dir = Path(cfg.log.save_path)
+        run_dir.mkdir(parents=True, exist_ok=True)
+        _fake_stats(run_dir / "train_stats.csv", energy=7.0,
+                    last_step=cfg.optim.iterations,
+                    l_square=l_squares[len(seen) - 1])
+        np.savez(run_dir / f"ckpt_{cfg.optim.iterations - 1:06d}.npz",
+                 step=cfg.optim.iterations - 1)
+
+    import importlib
+
+    train_module = importlib.import_module("deephall_tpu.train")
+    monkeypatch.setattr(train_module, "train", fake_train)
+
+    ground = tmp_path / "ground_ckpt_000049.npz"
+    np.savez(ground, step=49)
+    out = tmp_path / "roton"
+    magnetoroton.main([
+        "--config", str(config_yml), "--out", str(out),
+        "--sectors", "2", "--iterations", "100",
+        "--restore", str(ground), "--tail", "5",
+        "--selector", "adaptive",
+    ])
+
+    assert len(seen) == 3
+    escape, settle, extension = seen
+    # Escape: capped kick (1.0 * min(4, 36/4) = 4 at m=2), selector clamped
+    # to the kick's window 0.8 * 4 / (2*2) = 0.8, adaptive flag threaded.
+    assert escape.system.lz_penalty == 4.0
+    assert abs(escape.system.l2_penalty - 0.8) < 1e-12
+    assert escape.system.l2_center == 6.0
+    assert escape.system.l2_adaptive is True
+    assert escape.optim.iterations == 50 + 30
+    # One settle leg at the full adaptive cap (default k = 2.0), nominal lz;
+    # the in-graph annealing replaces the purify stage entirely.
+    assert settle.system.l2_penalty == 2.0
+    assert settle.system.lz_penalty == 1.0
+    assert settle.system.l2_adaptive is True
+    assert settle.optim.iterations == 50 + 100
+    # Impure tail -> extension re-runs the SAME leg longer (no escalation:
+    # the stiffness ladder is in-graph).
+    assert extension.system.l2_penalty == 2.0
+    assert extension.system.lz_penalty == 1.0
+    assert extension.system.l2_adaptive is True
+    assert extension.optim.iterations == 150 + 25
+
+    with open(out / "dispersion.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1 and abs(float(rows[0]["L_square"]) - 6.02) < 1e-9
+
+
 def test_onesided_selector_plan(tmp_path, monkeypatch):
     """Default selector: escape kick, stiff-lz purify, gentle settle, bursts.
 
