@@ -31,8 +31,8 @@ for attempt in $(seq 1 24); do
   REMAIN=$(( DEADLINE - $(date +%s) ))
   [ "$REMAIN" -lt 600 ] && { echo "deadline reached; not relaunching"; break; }
   timeout -k 120 "$REMAIN" python scripts/magnetoroton.py \
-    --config runs/prod_r4/config.yml \
-    --restore runs/prod_r4/ckpt_019999.npz \
+    --config artifacts/prod_r4/config.yml \
+    --restore artifacts/prod_r4/ckpt_019999.npz \
     --out runs/roton13 \
     --sectors 4 5 6 3 2 \
     --selector adaptive \
