@@ -102,6 +102,49 @@ def stable_lz(k: float, m: int, lz_nominal: float) -> float:
     return max(lz_nominal, 3.0 * k * m)
 
 
+def settle_k_from_ed(
+    energies_total: list[float], l2s: list[float], target_index: int,
+    m: int, lz_nominal: float,
+) -> float:
+    """ED-informed settle-stage selector strength for the ``L = m`` member.
+
+    The round-4 sweep measured both horns of a *blind* settle stiffness: a
+    window-clamped constant k = 0.2 could not hold sector 2 against the energy
+    drift toward the lower-lying L=4 roton member (L^2 crept 7.8 -> 8.1), and
+    the adaptive selector never left its stiff regime (equilibrium impurity
+    scales as 1/k_eff, so ``k_eff = k * impurity`` settles at ``sqrt(c k)`` —
+    sector 4 plateaued at L^2 = 20.24 under lz_eff ~ 6 with the energy stuck
+    0.22 high at variance 0.29).  The exact spectrum removes the blindness:
+    the ED block (already computed for the row's anchor) lists every state
+    *below* the target in its Lz = m block, and the one-sided floor penalty
+    ``k relu(L^2 - m(m+1))`` beats contaminant ``i`` exactly when
+
+        k > (E_target - E_i) / (L^2_i - m(m+1)).
+
+    Sectors whose target IS the block ground state (N=6: Lz=4 — the roton
+    minimum — and Lz=6) need no selector at all: plain Lz-pinned energy
+    minimization converges onto the member, so the settle uses a tiny guard
+    k = 0.02 that only suppresses noise excursions (one-sided: exactly zero
+    at and below the target, hence unbiased).  Hard sectors get 10x the
+    ED-margin requirement, clamped to half the tunneling window
+    ``0.8 lz / (2m)`` — for N=6 sector 2 that is k ~= 0.055, nearly 4x
+    gentler than the round-4 "gentle" leg that still failed to converge.
+    """
+    guard = 0.02
+    window = 0.8 * lz_nominal / (2.0 * max(1, m))
+    need = 0.0
+    target = m * (m + 1)
+    for energy, l2 in zip(
+        energies_total[:target_index], l2s[:target_index]
+    ):
+        margin_l2 = l2 - target
+        if margin_l2 > 0.5:  # below-target energy, above-target L^2
+            need = max(
+                need, (energies_total[target_index] - energy) / margin_l2
+            )
+    return float(min(max(guard, 10.0 * need), 0.5 * window))
+
+
 def settle_k(l2_penalty: float, m: int, lz_nominal: float) -> float:
     """Settle-stage selector strength: window-clamped at the *nominal* lz.
 
@@ -126,7 +169,7 @@ def settle_k(l2_penalty: float, m: int, lz_nominal: float) -> float:
 def plan_phases(
     level: int, l2_penalty: float, lz_penalty: float,
     base_step: int, iterations: int, one_sided: bool = False, m: int = 0,
-    adaptive: bool = False,
+    adaptive: bool = False, settle_k_value: float | None = None,
 ) -> list[tuple[float, float, int, str]]:
     """Stage plan ``[(l2_penalty, lz_penalty, iteration_target, kind), ...]``.
 
@@ -156,22 +199,33 @@ def plan_phases(
     (escape, then a window-clamped purify): its purify stage is already
     gentle, so it doubles as the settle stage.
     """
+    gentle = (
+        settle_k_value if settle_k_value is not None
+        else settle_k(l2_penalty, m, lz_penalty)
+    )
     if level == 0 and l2_penalty:
         kick = escape_kick(lz_penalty, m)
         k_escape = min(l2_penalty, 0.8 * kick / (2.0 * max(1, m)))
         if adaptive:
-            # Two stages only: the in-graph deviation-proportional stiffness
-            # (config.System.l2_adaptive) merges purify and settle into one
-            # self-annealing leg — stiff while far from the target multiplet,
-            # fading to the unbiased gentle regime at it, with the Lz penalty
-            # raised in-graph to track the tunneling window.  The escape leg
-            # clamps the selector to the kick's own stability window so the
-            # in-graph Lz raise (3 m k_eff) cannot exceed ~1.2x the capped
-            # kick mid-escape (kick * m^2 = 64 measured NaN at m=4).
+            # Three stages: the in-graph deviation-proportional stiffness
+            # (config.System.l2_adaptive) handles escape and purify — stiff
+            # while far from the target multiplet, annealing toward it, with
+            # the Lz penalty raised in-graph to track the tunneling window
+            # (the escape leg clamps the selector to the kick's own stability
+            # window so the in-graph Lz raise 3 m k_eff cannot exceed ~1.2x
+            # the capped kick mid-escape; kick * m^2 = 64 measured NaN at
+            # m=4).  The dispersion row is then measured on a FIXED gentle
+            # settle leg: round 4 measured that the adaptive leg never
+            # reaches the gentle regime — its equilibrium impurity scales as
+            # 1/k_eff, so k_eff plateaus at sqrt(c k) (sector 4 stuck at
+            # L^2 = 20.24 under lz_eff ~ 6, E 0.22 high, variance 0.29) and
+            # the stiff geometry blocks energy convergence.
             return [
                 (k_escape, kick,
                  base_step + max(1, int(0.3 * iterations)), "escape"),
-                (l2_penalty, lz_penalty, base_step + iterations, "settle"),
+                (l2_penalty, lz_penalty,
+                 base_step + max(2, int(0.6 * iterations)), "purify"),
+                (gentle, lz_penalty, base_step + iterations, "settle"),
             ]
         if not one_sided:
             return [
@@ -183,8 +237,7 @@ def plan_phases(
              base_step + max(1, int(0.3 * iterations)), "escape"),
             (l2_penalty, stable_lz(l2_penalty, m, lz_penalty),
              base_step + max(2, int(0.6 * iterations)), "purify"),
-            (settle_k(l2_penalty, m, lz_penalty), lz_penalty,
-             base_step + iterations, "settle"),
+            (gentle, lz_penalty, base_step + iterations, "settle"),
         ]
     return [(0.0, lz_penalty, base_step + iterations, "settle")]
 
@@ -228,7 +281,7 @@ def phase_overrides(
 
 def tail_stats(
     csv_path: Path, rows: int, min_step: int | None = None,
-    window: float = 0.05,
+    window: float = 0.05, drift_rows: int = 0,
 ) -> dict[str, float]:
     """Robust tail statistics of a train_stats.csv, sliced by *step number*.
 
@@ -256,6 +309,28 @@ def tail_stats(
         # A crashed-and-resumed phase can have fewer rows than planned; fall
         # back to the unfiltered tail rather than produce an empty window.
         table = filtered or table
+    drift = drift_err = float("nan")
+    if drift_rows:
+        # Energy drift over a wider window than the mean (slope noise scales
+        # as n^{-3/2}): robust linear fit of the spike-masked energies, per
+        # 1000 steps, with its standard error so the convergence gate can
+        # demand the drift be both small AND significant before failing a row.
+        wide = table[-max(drift_rows, rows):]
+        steps_w = np.array([float(r["step"]) for r in wide])
+        energy_w = np.array([float(r["energy"]) for r in wide])
+        keep_w = np.isfinite(energy_w) & (
+            np.abs(energy_w - np.median(energy_w[np.isfinite(energy_w)]))
+            <= window
+        )
+        if keep_w.sum() > 10:
+            x = steps_w[keep_w] - steps_w[keep_w].mean()
+            y = energy_w[keep_w]
+            slope = float((x * (y - y.mean())).sum() / (x**2).sum())
+            resid = y - y.mean() - slope * x
+            se = float(
+                np.sqrt((resid**2).sum() / max(1, y.size - 2) / (x**2).sum())
+            )
+            drift, drift_err = slope * 1000.0, se * 1000.0
     tail = table[-rows:]
 
     def col(name):
@@ -288,6 +363,8 @@ def tail_stats(
         "L_square": masked_mean("L_square"),
         "Lz": masked_mean("Lz"),
     }
+    if drift_rows:
+        out["drift"], out["drift_err"] = drift, drift_err
     if tail and "overlap" in tail[-1]:
         out["overlap"] = masked_mean("overlap")
     return out
@@ -357,12 +434,27 @@ def main(argv: list[str] | None = None) -> None:
     )
     parser.add_argument("--tail", type=int, default=500, help="stats tail rows")
     parser.add_argument(
-        "--l2-tol", type=float, default=0.05,
-        help="L^2-purity convergence rail: after the purify stage, the tail "
-        "<L^2> must sit within this distance of the exact multiplet value "
-        "m(m+1), else the stage is extended (measured at N=4: a fixed budget "
-        "left sector 2 at L^2 = 6.30 vs exact 6 — 5%% impurity biasing the "
-        "energy by ~1 mHa). Set <= 0 to disable.",
+        "--l2-tol", type=float, default=0.1,
+        help="L^2-purity row gate: the settle tail's <L^2> must sit within "
+        "this distance of the exact multiplet value m(m+1), else the sector "
+        "is extended (burst + fresh settle) and ultimately marked failed "
+        "(measured at N=4: a fixed budget left sector 2 at L^2 = 6.30 vs "
+        "exact 6 — 5%% impurity biasing the energy by ~1 mHa). Set <= 0 to "
+        "disable the whole gate.",
+    )
+    parser.add_argument(
+        "--max-variance", type=float, default=0.05,
+        help="row gate: maximum local-energy variance of the settle tail — "
+        "an eigenstate has zero; the converged N=6 ground state measures "
+        "0.005 and the round-4 unconverged sector rows 0.29-1.1, so a row "
+        "above this is a mixture, not a measurement.",
+    )
+    parser.add_argument(
+        "--drift-tol", type=float, default=1e-3,
+        help="row gate: maximum settle-tail energy drift per 1000 steps. A "
+        "row fails only when the fitted drift exceeds this AND its own "
+        "2-sigma fit error (pure MC noise on a converged tail must not fail "
+        "the gate).",
     )
     parser.add_argument(
         "--max-extend", type=int, default=3,
@@ -412,11 +504,16 @@ def main(argv: list[str] | None = None) -> None:
             dropped += 1
         return dropped
 
-    def ed_sector_target(cfg, m: int, max_dim: int = 20000):
-        """Exact ``L = m`` member of the ``Lz = m`` block, where ED is feasible.
+    def ed_sector_info(cfg, m: int, max_dim: int = 20000):
+        """Exact ``Lz = m`` block structure, where ED is feasible.
 
-        Returns ``(total_energy, exact_l2, state_index)`` or ``None`` (block
-        bigger than ``max_dim``, or no ``L = m`` state among the lowest few).
+        Returns ``{energy, l2, state, totals, l2s}`` for the ``L = m`` member
+        (total energies / L^2 of the block's lowest states, ascending) or
+        ``None`` (block bigger than ``max_dim``, or no ``L = m`` state among
+        the lowest few).  Beyond anchoring the row, the block structure picks
+        the settle-stage selector strength (:func:`settle_k_from_ed`): a
+        target that IS the block ground state needs no selector, and a hard
+        sector's needed stiffness follows from the exact margins.
         """
         from deephall_tpu.observables import ed
 
@@ -431,13 +528,17 @@ def main(argv: list[str] | None = None) -> None:
             nelec, two_q, interaction=str(cfg.system.interaction_type),
             two_lz=2 * m, radius=cfg.system.radius, num_states=8,
         )
-        for k in range(len(result.energies)):
-            l2 = ed.state_l2(result, two_q, k)
+        l2s = [ed.state_l2(result, two_q, k) for k in range(len(result.energies))]
+        totals = [
+            nelec / 2.0 + cfg.system.interaction_strength * float(e)
+            for e in result.energies
+        ]
+        for k, l2 in enumerate(l2s):
             if abs(l2 - m * (m + 1)) < 0.5:
-                total = nelec / 2.0 + cfg.system.interaction_strength * float(
-                    result.energies[k]
-                )
-                return total, l2, k
+                return {
+                    "energy": totals[k], "l2": l2, "state": k,
+                    "totals": totals, "l2s": l2s,
+                }
         return None
 
     # The ground state is an orthogonality rail for every sector run: the
@@ -457,6 +558,9 @@ def main(argv: list[str] | None = None) -> None:
 
     one_sided = args.selector == "onesided"
     adaptive = args.selector == "adaptive"
+    cfg_probe = Config.from_dict(
+        merge_dicts(dict(base), dotlist_to_dict(args.dotlist))
+    )
     if args.l2_penalty is None:
         # Adaptive default 2.0: this is the stiffness CAP (reached a full
         # unit above the target multiplet), and the equilibrium impurity
@@ -486,6 +590,23 @@ def main(argv: list[str] | None = None) -> None:
         l2_center = (
             float(m * (m + 1)) if (one_sided or adaptive) and l2_penalty else 0.0
         )
+        # Exact block structure: row anchor + ED-informed settle stiffness.
+        ed_info = ed_sector_info(cfg_probe, m) if l2_penalty else None
+        k_settle_value = (
+            settle_k_from_ed(
+                ed_info["totals"], ed_info["l2s"], ed_info["state"],
+                m, args.lz_penalty,
+            )
+            if ed_info is not None
+            else None
+        )
+        if ed_info is not None:
+            print(
+                f"sector {m}: ED target E = {ed_info['energy']:.5f} "
+                f"(block state {ed_info['state']}), settle k = "
+                f"{k_settle_value:.4f}",
+                flush=True,
+            )
         previous: list[str] = []
         for level in range(args.chain + 1):
             name = f"sector_{m}" if level == 0 else f"sector_{m}_state{level}"
@@ -505,6 +626,7 @@ def main(argv: list[str] | None = None) -> None:
             phases = plan_phases(
                 level, l2_penalty, args.lz_penalty, base_step,
                 args.iterations, one_sided=one_sided, m=m, adaptive=adaptive,
+                settle_k_value=k_settle_value,
             )
             settle_len = phases[-1][2] - (
                 phases[-2][2] if len(phases) > 1 else base_step
@@ -596,7 +718,11 @@ def main(argv: list[str] | None = None) -> None:
                     orthogonal=anchor + previous,
                     overlap_penalty=args.overlap_penalty,
                     l2_center=l2_center if l2_value else 0.0,
-                    l2_adaptive=adaptive and bool(l2_value),
+                    # The settle leg is always fixed-gentle: the adaptive
+                    # selector's equilibrium impurity keeps it stiff forever
+                    # (see settle_k_from_ed), so the row is never measured
+                    # under it.
+                    l2_adaptive=adaptive and bool(l2_value) and kind != "settle",
                 )
                 if kind == "settle":
                     settle_start = phase_start
@@ -611,73 +737,104 @@ def main(argv: list[str] | None = None) -> None:
             if sector_failed:
                 break  # abandon this sector's chain; continue the sweep
 
-            # L^2-purity convergence rail (level-0 selector runs): the settle
-            # stage must actually sit in the L = m multiplet — a fixed budget
-            # measured 5% impurity at N=4 sector 2, biasing the energy ~1 mHa.
-            # Each extension is a capped stiff purify *burst* (fast rotation)
-            # followed by a fresh settle leg the row is re-measured on: the
-            # N=6 sweep measured that escalating the stiff selector unboundedly
-            # (k up to 2.25, lz to 13.5) wrecks the energy (see settle_k), so
-            # bursts escalate 1.5x but cap at 2x the nominal selector, and the
-            # measurement never includes burst rows.
+            # Row-quality gate (round-4 verdict: an unconverged tail must
+            # never be published as a dispersion point — the sector-4 row
+            # landed at E 0.22 above exact with variance 0.29 and no signal
+            # it was garbage).  The settle tail must be pure, in-sector,
+            # low-variance, and drift-free; a failing sector is extended —
+            # a purity failure gets a stiff purify *burst* (fast rotation;
+            # adaptive selector when requested) followed by a fresh gentle
+            # settle leg, while a variance/drift failure just trains the
+            # settle leg longer — and a sector still failing after
+            # --max-extend extensions is appended with an explicit
+            # ``status=failed(...)`` marker instead of silently polluting
+            # the CSV.
             cur_target = phases[-1][2]
             stats_csv = run_dir / "train_stats.csv"
-            if level == 0 and l2_penalty and args.l2_tol > 0:
-                target_l2 = m * (m + 1)
-                k_gentle = (settle_k(l2_penalty, m, args.lz_penalty)
-                            if one_sided else l2_penalty)
+
+            def settle_stats() -> dict[str, float]:
+                return tail_stats(
+                    stats_csv,
+                    min(args.tail, max(1, cur_target - settle_start)),
+                    min_step=settle_start,
+                    drift_rows=min(
+                        4 * args.tail, max(2, cur_target - settle_start)
+                    ),
+                )
+
+            def gate_failures(stats: dict[str, float]) -> list[str]:
+                fails = []
+                if abs(stats["L_square"] - m * (m + 1)) > args.l2_tol:
+                    fails.append("l2")
+                if abs(stats["Lz"] - m) > 0.05:
+                    fails.append("lz")
+                if not stats["variance"] <= args.max_variance:
+                    fails.append("variance")
+                drift = stats.get("drift", float("nan"))
+                # Fail only a *significant* drift: the fit error on a short
+                # noisy tail exceeds the tolerance, and a converged row must
+                # not fail on MC noise.
+                if (np.isfinite(drift) and abs(drift) > args.drift_tol
+                        and abs(drift) > 2 * stats.get("drift_err", 0.0)):
+                    fails.append("drift")
+                return fails
+
+            stats = settle_stats()
+            gated = level == 0 and l2_penalty and args.l2_tol > 0
+            status = ""
+            if gated:
+                fails = gate_failures(stats)
+                k_gentle = (
+                    k_settle_value if k_settle_value is not None
+                    else (settle_k(l2_penalty, m, args.lz_penalty)
+                          if one_sided else l2_penalty)
+                )
                 for extension in range(args.max_extend):
-                    stats = tail_stats(
-                        stats_csv,
-                        min(args.tail, max(1, cur_target - settle_start)),
-                        min_step=settle_start,
-                    )
-                    impurity = abs(stats["L_square"] - target_l2)
-                    if impurity <= args.l2_tol:
+                    if not fails:
                         break
-                    if one_sided:
-                        cur_k = min(l2_penalty * 1.5**extension,
-                                    2.0 * l2_penalty)
+                    settle_ext = max(1, args.iterations // 4)
+                    legs = []
+                    if "l2" in fails or "lz" in fails:
                         burst_len = max(1, args.iterations // 8)
-                        settle_ext = max(1, args.iterations // 4)
-                        print(
-                            f"    L^2 = {stats['L_square']:.3f} vs exact "
-                            f"{target_l2} (> tol {args.l2_tol}): purify burst "
-                            f"to step {cur_target + burst_len} (k = "
-                            f"{cur_k:.4f}), then settle to step "
-                            f"{cur_target + burst_len + settle_ext}",
-                            flush=True,
-                        )
-                        legs = [
-                            (cur_k, stable_lz(cur_k, m, args.lz_penalty),
-                             cur_target + burst_len),
-                            (k_gentle, args.lz_penalty,
-                             cur_target + burst_len + settle_ext),
-                        ]
+                        if adaptive:
+                            burst = (l2_penalty, args.lz_penalty,
+                                     cur_target + burst_len, True)
+                        elif one_sided:
+                            cur_k = min(l2_penalty * 1.5**extension,
+                                        2.0 * l2_penalty)
+                            burst = (cur_k,
+                                     stable_lz(cur_k, m, args.lz_penalty),
+                                     cur_target + burst_len, False)
+                        else:
+                            cur_k = min(k_gentle * 1.5**extension, k_bound)
+                            burst = (cur_k, args.lz_penalty,
+                                     cur_target + burst_len, False)
+                        legs.append(burst)
                         settle_start = cur_target + burst_len
+                        legs.append((k_gentle, args.lz_penalty,
+                                     cur_target + burst_len + settle_ext,
+                                     False))
                     else:
-                        # Adaptive selector: the stiffness escalation is
-                        # in-graph (k_eff rises with the measured impurity),
-                        # so an extension just trains the same leg longer.
-                        cur_k = (l2_penalty if adaptive
-                                 else min(k_gentle * 1.5**extension, k_bound))
-                        settle_ext = max(1, args.iterations // 4)
-                        print(
-                            f"    L^2 = {stats['L_square']:.3f} vs exact "
-                            f"{target_l2} (> tol {args.l2_tol}): extending "
-                            f"{'settle' if adaptive else 'purify'} to step "
-                            f"{cur_target + settle_ext} (k = {cur_k:.4f})",
-                            flush=True,
-                        )
-                        legs = [(cur_k, args.lz_penalty,
-                                 cur_target + settle_ext)]
-                        settle_start = cur_target
-                    failed = False
-                    for leg_index, (leg_k, leg_lz, leg_target) in (
-                        enumerate(legs)
-                    ):
+                        # Pure variance/drift failure: the state is in-sector
+                        # but not converged — just train the settle leg
+                        # longer (same gentle penalties, same executable).
+                        legs.append((k_gentle, args.lz_penalty,
+                                     cur_target + settle_ext, False))
+                    print(
+                        f"    gate failed ({', '.join(fails)}): E = "
+                        f"{stats['energy']:.5f}, L^2 = "
+                        f"{stats['L_square']:.3f}, var = "
+                        f"{stats['variance']:.3f}, drift = "
+                        f"{stats.get('drift', float('nan')):.2e}/1k; "
+                        f"extension {extension + 1}/{args.max_extend} to "
+                        f"step {legs[-1][2]}",
+                        flush=True,
+                    )
+                    extension_failed = False
+                    for leg_index, (leg_k, leg_lz, leg_target, leg_adaptive) \
+                            in enumerate(legs):
                         try:
-                            cfg = run_phase(phase_overrides(
+                            run_phase(phase_overrides(
                                 base_seed=int(base.get("seed", 1)), m=m,
                                 level=level,
                                 phase_index=len(phases) + 2 * extension
@@ -688,17 +845,20 @@ def main(argv: list[str] | None = None) -> None:
                                 restore=None, orthogonal=anchor + previous,
                                 overlap_penalty=args.overlap_penalty,
                                 l2_center=l2_center,
-                                l2_adaptive=adaptive and bool(leg_k),
+                                l2_adaptive=leg_adaptive,
                             ))
                         except RuntimeError as err:  # persistent NaN
                             print(f"    extension FAILED ({err}); accepting "
-                                  f"the sector at its current purity",
+                                  f"the sector at its current state",
                                   flush=True)
-                            failed = True
+                            extension_failed = True
                             break
                         cur_target = leg_target
-                    if failed:
+                    stats = settle_stats()
+                    fails = gate_failures(stats)
+                    if extension_failed:
                         break
+                status = "ok" if not fails else "failed(" + "+".join(fails) + ")"
 
             ckpts = sorted(run_dir.glob("ckpt_*.npz"))
             previous = [*previous, str(ckpts[-1])]
@@ -706,25 +866,20 @@ def main(argv: list[str] | None = None) -> None:
             # by step number so escape/purify rows (Lz kick, stiff selector)
             # are never averaged into the dispersion point — only the final
             # settle leg's gentle-penalty rows measure the sector energy.
-            row = {"sector": m, "level": level,
-                   **tail_stats(
-                       stats_csv,
-                       min(args.tail, max(1, cur_target - settle_start)),
-                       min_step=settle_start,
-                   )}
-            if level == 0 and l2_penalty:
+            row = {"sector": m, "level": level, "status": status, **stats}
+            if level == 0 and l2_penalty and ed_info is not None:
                 # Exact anchor for the L = m member (small/medium blocks).
-                target = ed_sector_target(cfg, m)
-                if target is not None:
-                    row["ed_energy"], row["ed_l2"], row["ed_state"] = target
+                row["ed_energy"] = ed_info["energy"]
+                row["ed_l2"] = ed_info["l2"]
+                row["ed_state"] = ed_info["state"]
             write_header = not dispersion.exists()
             with open(dispersion, "a", newline="") as f:
                 writer = csv.DictWriter(
                     f,
                     fieldnames=[
                         "sector", "level", "energy", "energy_err", "variance",
-                        "L_square", "Lz", "overlap", "ed_energy", "ed_l2",
-                        "ed_state",
+                        "L_square", "Lz", "drift", "drift_err", "overlap",
+                        "status", "ed_energy", "ed_l2", "ed_state",
                     ],
                     restval="",
                 )
