@@ -15,10 +15,14 @@
 # (gentle k cannot hold the state against the energy drift toward the L=4
 # roton minimum, stiff k wrecks the energy — PERF_NOTES/BASELINE round 4).
 # Sector order: easy-first (4, 5, 6 are lowest-or-nearly-lowest in their Lz
-# windows), then the hard rows 3 and 2 resume their current states (steps
-# ~56k/58k, beyond any plan -> fresh adaptive settle leg at this HEAD).
-# Earlier stiff/gentle rows are preserved in
-# runs/roton13/dispersion_r4_{initial,stiff}.csv.
+# windows), then the hard rows 3 and 2. NOTE (round-5 correction): this
+# launch only reached sectors 4 and 5 before the round ended, and the
+# sector_2/sector_3 run state (~56k/58k steps) plus the
+# dispersion_r4_{initial,stiff}.csv archives were lost with the runs/ wipe —
+# on current disk runs/roton13 holds sector_4, sector_5 and
+# dispersion_r4_adaptive.csv only, so sectors 2/3 start fresh from the
+# ground warm start (handled by the driver). Superseded by
+# r5_roton_sweep.sh (ED-informed settle stiffness + row-quality gates).
 cd "$(dirname "$0")/.." || exit 1
 STOP=/tmp/roton_stop
 rm -f "$STOP"
