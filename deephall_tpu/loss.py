@@ -323,12 +323,21 @@ def make_loss_and_capture_fn(
             system, el, other_observables, log_ratios, penalties
         )
         w = vjp_weights(diff)
-        # Re[conj(grad logpsi) w] = grad(Re psi) . Re w + grad(Im psi) . Im w
-        grads, _ = pullback((w.real, w.imag))
-        # Exact-Fisher sensitivities of sqrt(2) sum_b Re log psi_b.
-        _, dy = pullback(
-            (jnp.full_like(w.real, FISHER_COTANGENT), jnp.zeros_like(w.imag))
+        # One batched pullback serves both cotangents: row 0 is the weighted
+        # energy cotangent (Re[conj(grad logpsi) w] = grad(Re psi) . Re w +
+        # grad(Im psi) . Im w), row 1 the sqrt(2)-uniform exact-Fisher
+        # cotangent.  Two separate pullback calls traverse the backward graph
+        # twice and re-read every stored residual from HBM; the vmapped
+        # pullback reads each residual once and carries a 2-row cotangent
+        # through the same graph (the workload is HBM-bound — PERF_NOTES
+        # roofline).
+        cotangents = (
+            jnp.stack([w.real, jnp.full_like(w.real, FISHER_COTANGENT)]),
+            jnp.stack([w.imag, jnp.zeros_like(w.imag)]),
         )
+        grads2, dy2 = jax.vmap(pullback)(cotangents)
+        grads = jax.tree.map(lambda a: a[0], grads2)
+        dy = jax.tree.map(lambda a: a[1], dy2)
         return stats, jax.tree.map(jnp.nan_to_num, grads), sown, dy
 
     return loss_grad_capture

@@ -794,7 +794,15 @@ def main(argv: list[str] | None = None) -> None:
                         break
                     settle_ext = max(1, args.iterations // 4)
                     legs = []
-                    if "l2" in fails or "lz" in fails:
+                    # Easy sectors (the L = m member IS the Lz = m block
+                    # ground state, ED-verified) never burst: plain energy
+                    # minimization is itself the purifier there — every
+                    # contaminant is higher-energy — while a stiff burst
+                    # stalls the energy (measured round 4).  L^2 wandering
+                    # above target mid-descent is transient mixing that the
+                    # continued settle drains together with the variance.
+                    easy = ed_info is not None and ed_info["state"] == 0
+                    if ("l2" in fails or "lz" in fails) and not easy:
                         burst_len = max(1, args.iterations // 8)
                         if adaptive:
                             burst = (l2_penalty, args.lz_penalty,
