@@ -247,6 +247,7 @@ def phase_overrides(
     l2_value: float, lz_value: float, iteration_target: int,
     run_dir: str, restore: str | None, orthogonal: list[str],
     overlap_penalty: float, l2_center: float = 0.0, l2_adaptive: bool = False,
+    lr_delay: float | None = None,
 ) -> dict:
     """Config overrides for one phase of one sector run.
 
@@ -254,8 +255,20 @@ def phase_overrides(
     ``restore_path`` takes precedence over the run's own save dir (LogManager
     contract, ``deephall_tpu/log.py``), so later phases must clear it to
     resume the previous phase instead of rewinding to the ground state.
+
+    ``lr_delay`` rewrites the LR schedule's decay constant for this phase
+    (settle legs only, see ``--settle-lr-delay``): warm-started sector runs
+    carry step counters of 50-70k from the accumulated escape/purify/rail
+    history, where the default ``rate/(1 + t/2000)`` schedule has decayed to
+    ~0.0015 — the round-5 sweep measured sector 4's settle leg descending at
+    only -2.3e-3/1k steps there, too slow to close a 0.05 energy gap inside
+    any extension budget.  A larger ``delay`` keeps the settle leg in the
+    productive LR band (~0.005) that every converged production tail trained
+    at.  Unlike the penalties, the schedule constants are baked into the
+    executable, so the first settle leg pays one fresh compile; the value is
+    shared across sectors/extensions to reuse it.
     """
-    return {
+    overrides = {
         "seed": base_seed + 101 * m + level,
         "system": {
             "lz_center": float(m),
@@ -277,6 +290,10 @@ def phase_overrides(
             "restore_path": restore if phase_index == 0 else None,
         },
     }
+    if lr_delay is not None:
+        overrides["optim"]["kfac"] = {"lr": {"delay": lr_delay}}
+        overrides["optim"]["adam"] = {"lr": {"delay": lr_delay}}
+    return overrides
 
 
 def tail_stats(
@@ -455,6 +472,19 @@ def main(argv: list[str] | None = None) -> None:
         "row fails only when the fitted drift exceeds this AND its own "
         "2-sigma fit error (pure MC noise on a converged tail must not fail "
         "the gate).",
+    )
+    parser.add_argument(
+        "--settle-lr-delay", type=float, default=None,
+        help="LR-schedule delay constant for settle legs (and gentle "
+        "extension legs). Warm-started sector runs carry 50-70k-step "
+        "counters where the default delay=2000 schedule has decayed to "
+        "~0.0015 — measured round 5: sector 4's settle drifted at only "
+        "-2.3e-3/1k steps, unable to close its 0.05 energy gap in any "
+        "extension budget. 8000 keeps settle legs near the ~0.005 band "
+        "every converged production tail trained at. Stiff escape/purify/"
+        "burst legs keep the default schedule (their stability was measured "
+        "there). Costs one fresh compile for the first settle leg (baked "
+        "schedule constant), then shared across sectors.",
     )
     parser.add_argument(
         "--max-extend", type=int, default=3,
@@ -723,6 +753,9 @@ def main(argv: list[str] | None = None) -> None:
                     # (see settle_k_from_ed), so the row is never measured
                     # under it.
                     l2_adaptive=adaptive and bool(l2_value) and kind != "settle",
+                    lr_delay=(
+                        args.settle_lr_delay if kind == "settle" else None
+                    ),
                 )
                 if kind == "settle":
                     settle_start = phase_start
@@ -841,6 +874,12 @@ def main(argv: list[str] | None = None) -> None:
                     extension_failed = False
                     for leg_index, (leg_k, leg_lz, leg_target, leg_adaptive) \
                             in enumerate(legs):
+                        # Gentle legs (the fresh settle after a burst, or a
+                        # plain variance/drift extension) are settle legs:
+                        # they get the settle LR override.  Stiff burst legs
+                        # keep the default schedule their stability was
+                        # measured at.
+                        gentle_leg = not leg_adaptive and leg_k <= k_gentle
                         try:
                             run_phase(phase_overrides(
                                 base_seed=int(base.get("seed", 1)), m=m,
@@ -854,6 +893,10 @@ def main(argv: list[str] | None = None) -> None:
                                 overlap_penalty=args.overlap_penalty,
                                 l2_center=l2_center,
                                 l2_adaptive=leg_adaptive,
+                                lr_delay=(
+                                    args.settle_lr_delay if gentle_leg
+                                    else None
+                                ),
                             ))
                         except RuntimeError as err:  # persistent NaN
                             print(f"    extension FAILED ({err}); accepting "
