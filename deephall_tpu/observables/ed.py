@@ -371,6 +371,126 @@ def structure_factor(result: EDResult, two_q: int, lmax: int = 8) -> np.ndarray:
     return out
 
 
+def _apply_one_body(
+    mat: np.ndarray,
+    shift: int,
+    src_basis: list[tuple[int, ...]],
+    dst_index: dict[tuple[int, ...], int],
+    vec: np.ndarray,
+) -> np.ndarray:
+    """Apply ``O = sum_m mat[m+shift, m] c+_{m+shift} c_m`` to ``vec``.
+
+    ``mat`` is a single-``q`` matrix from :func:`y_matrix_elements` (only the
+    ``m' = m + shift`` diagonal is nonzero); the result lives in the
+    ``Lz + shift`` block indexed by ``dst_index``.  Fermion signs follow the
+    same convention as ``_apply_total_l2``'s ladder helper: basis tuples are
+    ascending, annihilation at position ``pos`` contributes ``(-1)^pos`` and
+    re-insertion ``(-1)^{new position}``.
+    """
+    n = mat.shape[0]
+    out = np.zeros(len(dst_index))
+    for row, occ in enumerate(src_basis):
+        amp = vec[row]
+        if amp == 0.0:
+            continue
+        occ_set = set(occ)
+        for pos, orb in enumerate(occ):
+            t = orb + shift
+            if t < 0 or t >= n:
+                continue
+            el = mat[t, orb]
+            if el == 0.0:
+                continue
+            if t != orb and t in occ_set:
+                continue  # Pauli blocked
+            new_occ = tuple(sorted(occ_set - {orb} | {t}))
+            col = dst_index.get(new_occ)
+            if col is None:
+                continue
+            sign = (-1.0) ** (pos + new_occ.index(t))
+            out[col] += sign * el * amp
+    return out
+
+
+def sma_spectrum(
+    nelec: int,
+    two_q: int,
+    lmax: int = 6,
+    interaction: str = "coulomb",
+    radius: float | None = None,
+    mval: int | None = None,
+) -> list[dict]:
+    """Exact single-mode-approximation (GMP) magnetoroton bounds per ``L``.
+
+    Girvin-MacDonald-Platzman's magnetoroton ansatz (PRB 33, 2481 (1986)) on
+    the Haldane sphere: the trial excitation in the ``L`` multiplet is the
+    LLL-projected density multipole acting on the exact ground state,
+
+        |L, M> = rho_LM |0>,    rho_LM = sum_m <m+M| Y_LM |m> c+_{m+M} c_m ,
+
+    (the LLL projection is built in — the matrix elements are taken between
+    LLL orbitals only).  Because ``rho_LM`` is a rank-``L`` tensor operator
+    and ``|0>`` is a scalar, ``|L, M>`` is a *pure* ``L`` multiplet member, so
+
+        Delta_SMA(L) = <L|H|L>/<L|L> - E0  >=  Delta_exact(L)
+
+    is a variational upper bound on the magnetoroton branch sector by sector —
+    the classic analysis the VMC dispersion (``scripts/magnetoroton.py``) is
+    compared against.  The projected structure factor
+    ``sbar(L) = <0|rho_LM^+ rho_LM|0> / N`` (``M``-independent by rotational
+    invariance) comes out for free; the ``L = 1`` multipole is exactly
+    ``sqrt(3/4pi) L_tot / (Q+1)`` within the LLL, which annihilates any
+    ``L = 0`` ground state — ``sbar(1) = 0`` is the sphere statement of the
+    ``q -> 0`` incompressibility that kills the SMA state at smallest ``k``
+    (both identities pinned in ``tests/test_sma.py``).
+
+    This is an analysis capability beyond the reference's surface (its loss
+    stops at ground-state penalties, ``/root/reference/deephall/loss.py:76-88``
+    — it ships no ED, no SMA, no dispersion tooling).
+
+    Args:
+        nelec: Electron count (spin-polarized).
+        two_q: Monopole flux ``2Q``.
+        lmax: Largest multipole; must stay ``<= 2Q`` (beyond that the LLL
+            matrix elements vanish identically).
+        interaction: ``"coulomb"`` or ``"harmonic"`` (see :func:`pair_elements`).
+        radius: Coulomb sphere-radius override (default ``sqrt(Q)``).
+        mval: ``M`` of the multipole (default ``L``, landing the state in the
+            ``Lz = L`` block — the same block the VMC sector runs target).
+            Any ``|M| <= L`` gives identical ``sbar``/gaps (tested).
+
+    Returns:
+        One dict per ``L = 1..lmax``: ``{"l", "sbar", "sma_gap",
+        "sma_energy"}`` — interaction-only energies; ``sma_gap``/``sma_energy``
+        are ``None`` where ``sbar`` is numerically zero (no SMA state).
+    """
+    n_orb = two_q + 1
+    v4 = pair_elements(two_q, interaction, radius)
+    ground = ed_block(
+        nelec, two_q, interaction, two_lz=0, radius=radius, num_states=1, v4=v4
+    )
+    e0 = float(ground.energies[0])
+    elems = y_matrix_elements(two_q)
+    out: list[dict] = []
+    for lval in range(1, lmax + 1):
+        m_use = lval if mval is None else mval
+        mat = elems.get((lval, m_use))
+        if mat is None:
+            raise ValueError(f"no Y_{lval}{m_use} elements at 2Q={two_q}")
+        dst_basis = lz_basis(n_orb, nelec, 2 * m_use)
+        dst_index = {occ: r for r, occ in enumerate(dst_basis)}
+        v = _apply_one_body(mat, m_use, ground.basis, dst_index, ground.ground_state)
+        norm2 = float(v @ v)
+        row = {"l": lval, "sbar": norm2 / nelec, "sma_gap": None, "sma_energy": None}
+        if norm2 > 1e-12:
+            hv = _apply_interaction(v4, dst_basis, dst_index, v)
+            e_sma = float(v @ hv) / norm2
+            row["sma_energy"] = e_sma
+            row["sma_gap"] = e_sma - e0
+        out.append(row)
+    return out
+
+
 def lz_basis(n_orb: int, nelec: int, two_lz: int) -> list[tuple[int, ...]]:
     """Occupation basis (tuples of orbital indices) with ``sum 2m = two_lz``."""
     two_q = n_orb - 1

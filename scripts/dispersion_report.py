@@ -122,6 +122,85 @@ def rebuild_rows(
     return rows
 
 
+def attach_sma(entries: list[dict], nelec: int, flux: int) -> list[dict]:
+    """Exact GMP single-mode-approximation gaps for the same sectors.
+
+    ``ed.sma_spectrum`` measures ``rho_L |0>`` on the exact ground state —
+    a variational upper bound per sector (``tests/test_sma.py``).  Attached
+    as ``gap_sma`` where defined (``L = 1`` has no SMA state: the projected
+    ``q -> 0`` density annihilates the incompressible ground state).
+    """
+    from deephall_tpu.observables import ed
+
+    lmax = max((e["L"] for e in entries), default=0)
+    rows = ed.sma_spectrum(nelec, flux, lmax=lmax) if lmax else []
+    by_l = {r["l"]: r for r in rows}
+    for e in entries:
+        row = by_l.get(e["L"])
+        if row and row["sma_gap"] is not None:
+            e["gap_sma"] = row["sma_gap"]
+            e["sbar"] = row["sbar"]
+    return rows
+
+
+def save_figure(entries: list[dict], path: str, title: str) -> None:
+    """Dispersion figure: VMC rows vs the exact spectrum vs the SMA bound.
+
+    One axis (gap vs L); three series with fixed categorical colors plus
+    marker-shape secondary encoding (dataviz skill reference palette, slots
+    1-3 — documented to pass the all-pairs CVD checks in light mode).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    surface, text1, text2 = "#fcfcfb", "#0b0b0b", "#52514e"
+    c_vmc, c_ed, c_sma = "#2a78d6", "#eb6834", "#1baf7a"
+
+    fig, ax = plt.subplots(figsize=(6.4, 4.2), dpi=160)
+    fig.patch.set_facecolor(surface)
+    ax.set_facecolor(surface)
+
+    ls = sorted(e["L"] for e in entries)
+    by_l = {e["L"]: e for e in entries}
+    sma = [(l, by_l[l]["gap_sma"]) for l in ls if "gap_sma" in by_l[l]]
+    if sma:
+        ax.plot(
+            [p[0] for p in sma], [p[1] for p in sma], "^--", color=c_sma,
+            lw=2, ms=8, label="SMA bound (exact $\\rho_L|0\\rangle$)",
+            zorder=2,
+        )
+    ed_pts = [(l, by_l[l]["gap_ed"]) for l in ls if "gap_ed" in by_l[l]]
+    if ed_pts:
+        ax.plot(
+            [p[0] for p in ed_pts], [p[1] for p in ed_pts], "s-",
+            color=c_ed, lw=2, ms=8, label="exact diagonalization", zorder=3,
+        )
+    ax.errorbar(
+        ls, [by_l[l]["gap_vmc"] for l in ls],
+        yerr=[by_l[l]["energy_err"] for l in ls], fmt="o", color=c_vmc,
+        ms=9, capsize=4, lw=2, label="VMC (this framework)", zorder=4,
+    )
+    ax.set_xlabel("angular momentum $L$", color=text1)
+    ax.set_ylabel("excitation gap  $E_L - E_0$", color=text1)
+    ax.set_title(title, color=text1, fontsize=11)
+    ax.set_xticks(ls)
+    ax.grid(True, color="#e6e5e1", lw=0.8, zorder=0)
+    for spine in ("top", "right"):
+        ax.spines[spine].set_visible(False)
+    for spine in ("left", "bottom"):
+        ax.spines[spine].set_color(text2)
+    ax.tick_params(colors=text2)
+    legend = ax.legend(frameon=False, fontsize=9, labelcolor=text1)
+    for h in legend.legend_handles:
+        h.set_alpha(1.0)
+    fig.tight_layout()
+    fig.savefig(path, facecolor=surface)
+    plt.close(fig)
+    print(f"figure -> {path}")
+
+
 def main(argv: list[str] | None = None) -> None:
     import sys
     from pathlib import Path
@@ -145,6 +224,12 @@ def main(argv: list[str] | None = None) -> None:
                         "(robust tails) instead of reading dispersion.csv")
     parser.add_argument("--tail", type=int, default=1000,
                         help="tail rows per sector for --rebuild")
+    parser.add_argument("--sma", action="store_true",
+                        help="with --nelec/--flux: attach the exact GMP "
+                        "single-mode-approximation upper bound per sector")
+    parser.add_argument("--figure", default=None,
+                        help="write a dispersion PNG (VMC vs ED vs SMA)")
+    parser.add_argument("--title", default=None, help="figure title")
     args = parser.parse_args(argv)
 
     if args.rebuild:
@@ -161,14 +246,18 @@ def main(argv: list[str] | None = None) -> None:
     e0_ed = None
     if args.nelec is not None and args.flux is not None:
         e0_ed = attach_ed_gaps(entries, args.nelec, args.flux)
+        if args.sma:
+            attach_sma(entries, args.nelec, args.flux)
 
     print(f"E0_VMC = {args.ground_energy:.5f} +- {args.ground_err:.5f}"
           + (f"   E0_ED = {e0_ed:.5f}" if e0_ed is not None else ""))
     hdr = f"{'L':>2} {'E_VMC':>10} {'err':>8} {'gap_VMC':>8}"
     hdr += f" {'gap_ED':>8} {'E_ED':>10} {'dev/sig':>8} {'|L2-L(L+1)|':>12}"
+    if args.sma:
+        hdr += f" {'gap_SMA':>8}"
     print(hdr)
     for e in entries:
-        print(
+        line = (
             f"{e['L']:>2} {e['energy']:>10.5f} {e['energy_err']:>8.5f} "
             f"{e['gap_vmc']:>8.5f} "
             f"{e.get('gap_ed', float('nan')):>8.5f} "
@@ -176,6 +265,17 @@ def main(argv: list[str] | None = None) -> None:
             f"{e.get('dev_sigma', float('nan')):>8.1f} "
             f"{e['purity']:>12.3f}"
         )
+        if args.sma:
+            line += f" {e.get('gap_sma', float('nan')):>8.5f}"
+        print(line)
+
+    if args.figure:
+        nelec = args.nelec if args.nelec is not None else 0
+        title = args.title or (
+            f"magnetoroton dispersion, N={nelec}, 2Q={args.flux} "
+            f"($\\nu=1/3$)"
+        )
+        save_figure(entries, args.figure, title)
 
 
 if __name__ == "__main__":
