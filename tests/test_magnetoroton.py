@@ -20,7 +20,8 @@ from deephall_tpu.config import Config, to_dict  # noqa: E402
 
 
 def _fake_stats(
-    path: Path, energy: float, last_step: int = 10, l_square: float = 12.0
+    path: Path, energy: float, last_step: int = 10, l_square: float = 12.0,
+    lz: float = 2.0,
 ):
     """Append rows ending at ``last_step`` (StatsWriter appends across phases)."""
     rows = [
@@ -29,7 +30,7 @@ def _fake_stats(
             "energy": energy,
             "variance": 0.01,
             "L_square": l_square,
-            "Lz": 2.0,
+            "Lz": lz,
             "overlap": 0.01,
         }
         for i in range(max(0, last_step - 10), last_step)
@@ -142,16 +143,43 @@ def test_sector_chain_configs_and_dispersion(tmp_path, monkeypatch):
     assert rows[1]["ed_energy"] == ""  # chained levels have no selector anchor
 
 
+def _ed_settle_k(m: int, lz_penalty: float = 1.0) -> float:
+    """The driver's ED-informed settle stiffness, rebuilt from first principles.
+
+    Mirrors the closure ``ed_sector_info`` in scripts/magnetoroton.py: the
+    exact ``Lz = m`` block of the production N=6, 2Q=15 system anchors the
+    ``L = m`` member, and ``settle_k_from_ed`` turns the block's sub-target
+    margins into the settle-stage selector strength.
+    """
+    if m not in _ed_settle_k.cache:
+        from deephall_tpu.observables import ed
+
+        result = ed.ed_block(6, 15, interaction="coulomb", two_lz=2 * m,
+                             num_states=8)
+        l2s = [ed.state_l2(result, 15, k)
+               for k in range(len(result.energies))]
+        totals = [3.0 + float(e) for e in result.energies]
+        target = next(k for k, l2 in enumerate(l2s)
+                      if abs(l2 - m * (m + 1)) < 0.5)
+        _ed_settle_k.cache[m] = magnetoroton.settle_k_from_ed(
+            totals, l2s, target, m, lz_penalty)
+    return _ed_settle_k.cache[m]
+
+
+_ed_settle_k.cache = {}
+
+
 def test_l2_purity_rail(tmp_path, monkeypatch):
-    """Impure purify tails extend the selector stage until |L^2 - m(m+1)| <= tol."""
+    """Impure settle tails extend the sector (burst + re-settle) until pure."""
     base_cfg = Config()
     base_cfg.system.flux = 15
     base_cfg.system.nspins = (6, 0)
     config_yml = tmp_path / "config.yml"
     config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
 
-    # Per-call tail L^2: escape (ignored), impure purify, converged extension.
-    l_squares = [12.0, 6.4, 6.02]
+    # Per-call tail L^2: escape (ignored), impure settle, burst (ignored),
+    # converged re-settle.
+    l_squares = [12.0, 6.4, 6.3, 6.02]
     seen: list[Config] = []
 
     def fake_train(cfg: Config):
@@ -179,18 +207,29 @@ def test_l2_purity_rail(tmp_path, monkeypatch):
         "--selector", "window",  # legacy two-sided plan pinned below
     ])
 
-    # escape + purify + exactly one extension (the second tail converged).
-    assert len(seen) == 3
-    escape, purify, extension = seen
-    assert purify.optim.iterations == 50 + 100
-    assert extension.optim.iterations == 150 + 25  # iterations // 4 extension
-    assert extension.system.l2_penalty == purify.system.l2_penalty  # first ext
-    assert extension.system.lz_penalty == 1.0  # nominal, not the escape kick
-    assert extension.log.restore_path is None  # resumes its own run
+    # escape + settle + one extension (stiff burst then a fresh settle leg —
+    # sector 2's L=2 member is NOT its block ground state, so an impure tail
+    # bursts before re-settling).
+    assert len(seen) == 4
+    escape, settle, burst, resettle = seen
+    assert settle.optim.iterations == 50 + 100
+    assert settle.system.l2_penalty == 0.1  # window default, inside the clamp
+    # Extension legs run at the ED-informed gentle stiffness: the exact Lz=2
+    # block margins give k ~ 0.055 for N=6 (10x the beat-the-contaminant
+    # requirement, well inside the 0.2 tunneling window).
+    k_ed = _ed_settle_k(2)
+    assert 0.02 < k_ed < 0.2
+    assert burst.optim.iterations == 150 + 12  # iterations // 8 burst
+    assert abs(burst.system.l2_penalty - k_ed) < 1e-12
+    assert resettle.optim.iterations == 162 + 25  # iterations // 4 settle ext
+    assert abs(resettle.system.l2_penalty - k_ed) < 1e-12
+    assert resettle.system.lz_penalty == 1.0  # nominal, not the escape kick
+    assert resettle.log.restore_path is None  # resumes its own run
     with open(out / "dispersion.csv") as f:
         rows = list(csv.DictReader(f))
     assert len(rows) == 1
-    # The dispersion point comes from the extension's tail, not the impure one.
+    assert rows[0]["status"] == "ok"
+    # The dispersion point comes from the re-settle tail, not the impure one.
     assert abs(float(rows[0]["L_square"]) - 6.02) < 1e-9
 
 
@@ -236,11 +275,12 @@ def test_relaunch_resumes_own_run_and_skips_done(tmp_path, monkeypatch):
     ])
     # Escape (target 80) and purify (target 110) predate the resume point
     # (step 121); only the settle phase runs, resuming the run's own ckpts
-    # at the gentle window-clamped selector (0.8 * 1.0 / (2*2) = 0.2).
+    # at the ED-informed gentle selector (settle_k_from_ed on the exact
+    # Lz=2 block — ~0.055, well inside the 0.2 tunneling window).
     assert len(seen) == 1
     assert seen[0].log.restore_path is None
     assert seen[0].optim.iterations == 150
-    assert seen[0].system.l2_penalty == 0.2
+    assert abs(seen[0].system.l2_penalty - _ed_settle_k(2)) < 1e-12
     assert seen[0].system.lz_penalty == 1.0
     assert seen[0].system.l2_center == 6.0  # floored at the L=2 multiplet
 
@@ -391,10 +431,10 @@ def test_rail_extends_from_resumed_step_beyond_plan(tmp_path, monkeypatch):
 
     # All planned phases predate the resume; a fresh settle leg trains from
     # the resume point (400 + the plan's settle length 40) at the gentle
-    # window-clamped selector, and its converged tail lands the row.
+    # ED-informed selector, and its converged tail lands the row.
     assert len(seen) == 1
     assert seen[0].optim.iterations == 400 + 40
-    assert seen[0].system.l2_penalty == 0.2  # settle_k(1.0, m=2, lz=1.0)
+    assert abs(seen[0].system.l2_penalty - _ed_settle_k(2)) < 1e-12
     assert seen[0].system.lz_penalty == 1.0
     assert seen[0].log.restore_path is None
 
@@ -463,14 +503,16 @@ def test_nan_abort_retry_and_sector_isolation(tmp_path, monkeypatch):
 
 
 def test_adaptive_selector_plan(tmp_path, monkeypatch):
-    """Adaptive selector: escape + ONE self-annealing settle leg, flat extensions.
+    """Adaptive selector: escape + annealing purify + FIXED-gentle settle.
 
     The stiffness schedule lives in-graph (config.System.l2_adaptive:
-    k_eff = k * clip(<L^2> - c, 0, 1) with the Lz penalty raised to track the
-    tunneling window), so the driver plans only two stages and rail
-    extensions re-run the same leg longer instead of escalating penalties.
-    The escape leg still clamps the selector to the kick's stability window
-    so the in-graph Lz raise cannot exceed ~1.2x the capped kick mid-escape.
+    k_eff = k * clip(<L^2> - c, 0, 1) with the Lz penalty raised to track
+    the tunneling window) and carries escape + purify — but the adaptive
+    leg's equilibrium impurity scales as 1/k_eff, so it never reaches the
+    gentle regime (round 4: sector 4 plateaued at L^2 = 20.24 under
+    lz_eff ~ 6). The dispersion row is therefore measured on a fixed
+    ED-informed settle leg, and an impure tail gets an adaptive burst
+    followed by a fresh gentle settle leg.
     """
     base_cfg = Config()
     base_cfg.system.flux = 15
@@ -478,8 +520,9 @@ def test_adaptive_selector_plan(tmp_path, monkeypatch):
     config_yml = tmp_path / "config.yml"
     config_yml.write_text(yaml.safe_dump(to_dict(base_cfg)))
 
-    # escape (ignored), impure settle, converged extension
-    l_squares = [40.0, 6.4, 6.02]
+    # escape (ignored), purify (ignored), impure settle, burst (ignored),
+    # converged re-settle
+    l_squares = [40.0, 12.0, 6.4, 6.3, 6.02]
     seen: list[Config] = []
 
     def fake_train(cfg: Config):
@@ -507,8 +550,8 @@ def test_adaptive_selector_plan(tmp_path, monkeypatch):
         "--selector", "adaptive",
     ])
 
-    assert len(seen) == 3
-    escape, settle, extension = seen
+    assert len(seen) == 5
+    escape, purify, settle, burst, resettle = seen
     # Escape: capped kick (1.0 * min(4, 36/4) = 4 at m=2), selector clamped
     # to the kick's window 0.8 * 4 / (2*2) = 0.8, adaptive flag threaded.
     assert escape.system.lz_penalty == 4.0
@@ -516,18 +559,27 @@ def test_adaptive_selector_plan(tmp_path, monkeypatch):
     assert escape.system.l2_center == 6.0
     assert escape.system.l2_adaptive is True
     assert escape.optim.iterations == 50 + 30
-    # One settle leg at the full adaptive cap (default k = 2.0), nominal lz;
-    # the in-graph annealing replaces the purify stage entirely.
-    assert settle.system.l2_penalty == 2.0
+    # Purify at the full adaptive cap (default k = 2.0), nominal lz — the
+    # in-graph annealing handles the stiffness ladder.
+    assert purify.system.l2_penalty == 2.0
+    assert purify.system.lz_penalty == 1.0
+    assert purify.system.l2_adaptive is True
+    assert purify.optim.iterations == 50 + 60
+    # The row is measured on a FIXED gentle settle leg (ED-informed k,
+    # adaptive off): the adaptive leg never reaches the gentle regime.
+    k_ed = _ed_settle_k(2)
+    assert abs(settle.system.l2_penalty - k_ed) < 1e-12
     assert settle.system.lz_penalty == 1.0
-    assert settle.system.l2_adaptive is True
+    assert settle.system.l2_adaptive is False
     assert settle.optim.iterations == 50 + 100
-    # Impure tail -> extension re-runs the SAME leg longer (no escalation:
-    # the stiffness ladder is in-graph).
-    assert extension.system.l2_penalty == 2.0
-    assert extension.system.lz_penalty == 1.0
-    assert extension.system.l2_adaptive is True
-    assert extension.optim.iterations == 150 + 25
+    # Impure tail -> one adaptive burst + a fresh gentle settle leg.
+    assert burst.system.l2_penalty == 2.0
+    assert burst.system.lz_penalty == 1.0
+    assert burst.system.l2_adaptive is True
+    assert burst.optim.iterations == 150 + 12
+    assert abs(resettle.system.l2_penalty - k_ed) < 1e-12
+    assert resettle.system.l2_adaptive is False
+    assert resettle.optim.iterations == 162 + 25
 
     with open(out / "dispersion.csv") as f:
         rows = list(csv.DictReader(f))
@@ -564,7 +616,7 @@ def test_onesided_selector_plan(tmp_path, monkeypatch):
         run_dir.mkdir(parents=True, exist_ok=True)
         _fake_stats(run_dir / "train_stats.csv", energy=7.0,
                     last_step=cfg.optim.iterations,
-                    l_square=l_squares[len(seen) - 1])
+                    l_square=l_squares[len(seen) - 1], lz=5.0)
         np.savez(run_dir / f"ckpt_{cfg.optim.iterations - 1:06d}.npz",
                  step=cfg.optim.iterations - 1)
 
@@ -597,9 +649,12 @@ def test_onesided_selector_plan(tmp_path, monkeypatch):
     assert purify.system.l2_center == 30.0
     assert purify.system.lz_penalty == 15.0
     assert purify.optim.iterations == 50 + 60
-    # The settle stage measures the row: window-clamped selector at the
-    # nominal lz (0.8 * 1.0 / (2*5) = 0.08).
-    assert settle.system.l2_penalty == 0.08
+    # The settle stage measures the row at the ED-informed gentle selector:
+    # sector 5's margins need no stiffness (every sub-target block state is
+    # in-multiplet), so settle_k_from_ed returns the noise guard k = 0.02.
+    k_ed = _ed_settle_k(5)
+    assert abs(k_ed - 0.02) < 1e-12
+    assert abs(settle.system.l2_penalty - k_ed) < 1e-12
     assert settle.system.lz_penalty == 1.0
     assert settle.system.l2_center == 30.0
     assert settle.optim.iterations == 50 + 100
@@ -607,7 +662,7 @@ def test_onesided_selector_plan(tmp_path, monkeypatch):
     assert burst.system.l2_penalty == 1.0
     assert burst.system.lz_penalty == 15.0
     assert burst.optim.iterations == 150 + 12  # iterations // 8
-    assert resettle.system.l2_penalty == 0.08
+    assert abs(resettle.system.l2_penalty - k_ed) < 1e-12
     assert resettle.system.lz_penalty == 1.0
     assert resettle.optim.iterations == 162 + 25  # iterations // 4
 
